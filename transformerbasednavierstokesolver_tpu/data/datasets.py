@@ -1,0 +1,366 @@
+"""Benchmark dataset loaders with identical shapes/semantics to the reference.
+
+Each loader reproduces the slicing/normalization layout of the corresponding
+``exp_*.py`` data section (cited per function).  When the FNO/Geo-FNO data
+files are absent (they are external downloads, ``README.md:25-33``), loaders
+fall back to deterministic on-device synthetic generation -- real PDE solves
+for Darcy (FD+CG) and Navier-Stokes (pseudo-spectral), smooth parametric
+surrogates for the geometry benchmarks -- cached under ``data/synthetic/``.
+"""
+
+import os
+import warnings
+
+import numpy as np
+
+_SYNTH_DIR = os.environ.get(
+    "TBNSS_SYNTH_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "data", "synthetic"),
+)
+
+
+def _cache(name, builder):
+    os.makedirs(_SYNTH_DIR, exist_ok=True)
+    path = os.path.join(_SYNTH_DIR, name + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    out = builder()
+    np.savez_compressed(path, **out)
+    return out
+
+
+def _warn_synth(what, path):
+    warnings.warn(
+        f"{what}: data file {path!r} not found -- using deterministic "
+        f"synthetic data (cached in {_SYNTH_DIR}). Results are for pipeline "
+        f"validation, not benchmark-comparable accuracy.",
+        stacklevel=3,
+    )
+
+
+def _loadmat(path, keys):
+    try:
+        import scipy.io as scio
+
+        d = scio.loadmat(path)
+        return {k: np.asarray(d[k]) for k in keys}
+    except NotImplementedError:
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            # MATLAB v7.3 stores transposed
+            return {k: np.asarray(f[k]).T for k in keys}
+
+
+def meshgrid_pos(h, w=None):
+    """[1, h*w, 2] uniform unit-square coordinates, matching
+    ``exp_darcy.py:103-107`` (np.meshgrid xy-indexing + column stack)."""
+    w = h if w is None else w
+    x = np.linspace(0, 1, h, dtype=np.float32)
+    y = np.linspace(0, 1, w, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    pos = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+    return pos[None]
+
+
+# --------------------------------------------------------------------------
+# Darcy (exp_darcy.py:77-107)
+# --------------------------------------------------------------------------
+
+def load_darcy(data_path, ntrain=1000, ntest=200, r=5, synth_n=None):
+    """Returns (x_train [nt, s*s], y_train, x_test, y_test, s)."""
+    s = int(((421 - 1) / r) + 1)
+    train_path = os.path.join(data_path, "piececonst_r421_N1024_smooth1.mat")
+    test_path = os.path.join(data_path, "piececonst_r421_N1024_smooth2.mat")
+    if os.path.exists(train_path) and os.path.exists(test_path):
+        tr = _loadmat(train_path, ["coeff", "sol"])
+        te = _loadmat(test_path, ["coeff", "sol"])
+        x_train = tr["coeff"][:ntrain, ::r, ::r][:, :s, :s]
+        y_train = tr["sol"][:ntrain, ::r, ::r][:, :s, :s]
+        x_test = te["coeff"][:ntest, ::r, ::r][:, :s, :s]
+        y_test = te["sol"][:ntest, ::r, ::r][:, :s, :s]
+    else:
+        _warn_synth("darcy", train_path)
+        import jax
+
+        from .darcy_gen import generate_darcy_dataset
+
+        n_tr = min(ntrain, synth_n or 64)
+        n_te = min(ntest, max((synth_n or 64) // 4, 8))
+
+        def build():
+            ctr, str_ = generate_darcy_dataset(jax.random.PRNGKey(0), n_tr, s)
+            cte, ste = generate_darcy_dataset(jax.random.PRNGKey(1), n_te, s)
+            return dict(x_train=ctr, y_train=str_, x_test=cte, y_test=ste)
+
+        z = _cache(f"darcy_s{s}_n{n_tr}_{n_te}", build)
+        x_train, y_train = z["x_train"], z["y_train"]
+        x_test, y_test = z["x_test"], z["y_test"]
+        ntrain, ntest = n_tr, n_te
+
+    fl = lambda a: np.ascontiguousarray(a.reshape(a.shape[0], -1), dtype=np.float32)
+    return fl(x_train), fl(y_train), fl(x_test), fl(y_test), s
+
+
+# --------------------------------------------------------------------------
+# Navier-Stokes vorticity (exp_ns.py:64-94)
+# --------------------------------------------------------------------------
+
+def load_ns_vorticity(
+    data_path, ntrain=50, ntest=50, T_in=10, T=10, r=1, synth_sims=None
+):
+    """Returns (train_a [nt, h*h, T_in], train_u [nt, h*h, T], test_a, test_u, h)."""
+    h = int(((64 - 1) / r) + 1)
+    path = data_path
+    if os.path.isdir(data_path):
+        path = os.path.join(data_path, "NavierStokes_V1e-5_N1200_T20.mat")
+    if os.path.exists(path):
+        u = _loadmat(path, ["u"])["u"]  # (N, 64, 64, 20)
+    else:
+        _warn_synth("ns_vorticity", path)
+        import jax
+
+        from .spectral_ns import generate_vorticity_dataset
+
+        sims = synth_sims or max(ntrain + ntest, 32)
+
+        def build():
+            return dict(
+                u=generate_vorticity_dataset(
+                    jax.random.PRNGKey(42), sims, T_in + T, n=64, nu=1e-5,
+                    dt=2e-3, frame_dt=1.0, warmup_frames=2,
+                )
+            )
+
+        u = _cache(f"ns_v1e-5_s{sims}_t{T_in + T}", build)["u"]
+        ntrain = min(ntrain, sims // 2)
+        ntest = min(ntest, sims - ntrain)
+
+    def prep(block):
+        return np.ascontiguousarray(
+            block.reshape(block.shape[0], -1, block.shape[-1]), np.float32
+        )
+
+    train_a = prep(u[:ntrain, ::r, ::r, :T_in][:, :h, :h, :])
+    train_u = prep(u[:ntrain, ::r, ::r, T_in : T + T_in][:, :h, :h, :])
+    test_a = prep(u[-ntest:, ::r, ::r, :T_in][:, :h, :h, :])
+    test_u = prep(u[-ntest:, ::r, ::r, T_in : T + T_in][:, :h, :h, :])
+    return train_a, train_u, test_a, test_u, h
+
+
+# --------------------------------------------------------------------------
+# Fork velocity .npy (ns_velocity.py:40,68-83): (sims, 64, 64, 2*frames)
+# --------------------------------------------------------------------------
+
+def load_ns_velocity_npy(path, sims=100, frames=20):
+    if os.path.exists(path):
+        return np.load(path).astype(np.float32)
+    _warn_synth("ns_velocity", path)
+    import jax
+
+    from .spectral_ns import generate_velocity_dataset
+
+    def build():
+        return dict(
+            v=generate_velocity_dataset(jax.random.PRNGKey(7), sims, frames)
+        )
+
+    return _cache(f"ns_vel_s{sims}_f{frames}", build)["v"]
+
+
+# --------------------------------------------------------------------------
+# Airfoil (exp_airfoil.py:50-79) / Pipe (exp_pipe.py:52-82)
+# --------------------------------------------------------------------------
+
+def _synthetic_deformed_grid(key_seed, n_samples, s1, s2, kind):
+    """Smooth parametric surrogate for the Geo-FNO deformed-mesh benchmarks."""
+    rng = np.random.default_rng(key_seed)
+    t1 = np.linspace(0, 1, s1, dtype=np.float32)
+    t2 = np.linspace(0, 1, s2, dtype=np.float32)
+    U, V = np.meshgrid(t1, t2, indexing="ij")
+    xs, ys, qs = [], [], []
+    for _ in range(n_samples):
+        amp = rng.uniform(0.05, 0.25, size=3).astype(np.float32)
+        ph = rng.uniform(0, 2 * np.pi, size=3).astype(np.float32)
+        if kind == "airfoil":
+            # C-mesh-like wrap around a random thickness profile
+            thick = amp[0] * np.sin(np.pi * U) ** 1.5
+            X = U * 2 - 0.5 + amp[1] * 0.1 * np.sin(2 * np.pi * U + ph[0])
+            Y = (V - 0.5) * (0.2 + V * 1.8) + thick * np.sin(np.pi * V + ph[1])
+            Q = np.exp(-8 * ((U - 0.4) ** 2 + (V - 0.5) ** 2)) * (
+                1 + amp[2] * np.sin(4 * np.pi * U + ph[2])
+            )
+        else:  # pipe
+            center = 0.5 + amp[0] * np.sin(2 * np.pi * U + ph[0])
+            width = 0.3 + amp[1] * 0.3 * np.cos(2 * np.pi * U + ph[1])
+            X = U * 10.0
+            Y = center + (V - 0.5) * width
+            # Poiseuille-like profile modulated along the pipe
+            Q = (1 - (2 * (V - 0.5)) ** 2) * (1 + amp[2] * np.sin(2 * np.pi * U + ph[2]))
+        xs.append(X)
+        ys.append(Y)
+        qs.append(Q)
+    return (
+        np.stack(xs).astype(np.float32),
+        np.stack(ys).astype(np.float32),
+        np.stack(qs).astype(np.float32),
+    )
+
+
+def _load_geofno(data_path, prefix, q_channel, full_shape, kind,
+                 ntrain, ntest, r1, r2, synth_n):
+    s1 = int(((full_shape[0] - 1) / r1) + 1)
+    s2 = int(((full_shape[1] - 1) / r2) + 1)
+    px = os.path.join(data_path, f"{prefix}_X.npy")
+    py = os.path.join(data_path, f"{prefix}_Y.npy")
+    pq = os.path.join(data_path, f"{prefix}_Q.npy")
+    if all(os.path.exists(p) for p in (px, py, pq)):
+        X = np.load(px).astype(np.float32)
+        Y = np.load(py).astype(np.float32)
+        Q = np.load(pq)[:, q_channel].astype(np.float32)
+    else:
+        _warn_synth(kind, px)
+        n = (synth_n or 64) + max((synth_n or 64) // 4, 8)
+
+        def build():
+            X_, Y_, Q_ = _synthetic_deformed_grid(0, n, full_shape[0], full_shape[1], kind)
+            return dict(X=X_, Y=Y_, Q=Q_)
+
+        z = _cache(f"{kind}_n{n}", build)
+        X, Y, Q = z["X"], z["Y"], z["Q"]
+        ntrain = min(ntrain, synth_n or 64)
+        ntest = min(ntest, X.shape[0] - ntrain)
+
+    inp = np.stack([X, Y], axis=-1)
+    x_train = inp[:ntrain, ::r1, ::r2][:, :s1, :s2].reshape(ntrain, -1, 2)
+    y_train = Q[:ntrain, ::r1, ::r2][:, :s1, :s2].reshape(ntrain, -1)
+    x_test = inp[-ntest:, ::r1, ::r2][:, :s1, :s2].reshape(ntest, -1, 2)
+    y_test = Q[-ntest:, ::r1, ::r2][:, :s1, :s2].reshape(ntest, -1)
+    return (
+        np.ascontiguousarray(x_train), np.ascontiguousarray(y_train),
+        np.ascontiguousarray(x_test), np.ascontiguousarray(y_test),
+        s1, s2,
+    )
+
+
+def load_airfoil(data_path, ntrain=1000, ntest=200, r1=1, r2=1, synth_n=None):
+    """NACA transonic-flow benchmark: 221 x 51 C-mesh, output Q channel 4."""
+    return _load_geofno(
+        data_path, "NACA_Cylinder", 4, (221, 51), "airfoil",
+        ntrain, ntest, r1, r2, synth_n,
+    )
+
+
+def load_pipe(data_path, ntrain=1000, ntest=200, r1=1, r2=1, synth_n=None):
+    """Pipe-flow benchmark: 129 x 129 deformed mesh, output Q channel 0."""
+    return _load_geofno(
+        data_path, "Pipe", 0, (129, 129), "pipe",
+        ntrain, ntest, r1, r2, synth_n,
+    )
+
+
+# --------------------------------------------------------------------------
+# Elasticity point clouds (exp_elas.py:54-66)
+# --------------------------------------------------------------------------
+
+def load_elasticity(data_path, ntrain=1000, ntest=200, synth_n=None):
+    """Returns (train_xy [nt, 972, 2], train_s [nt, 972], test_xy, test_s)."""
+    ps = os.path.join(data_path, "elasticity", "Meshes", "Random_UnitCell_sigma_10.npy")
+    pxy = os.path.join(data_path, "elasticity", "Meshes", "Random_UnitCell_XY_10.npy")
+    if os.path.exists(ps) and os.path.exists(pxy):
+        sigma = np.load(ps).astype(np.float32).T  # (samples, 972)
+        xy = np.load(pxy).astype(np.float32).transpose(2, 0, 1)  # (samples, 972, 2)
+    else:
+        _warn_synth("elasticity", ps)
+        n = (synth_n or 64) + max((synth_n or 64) // 4, 8)
+        n_pts = 972
+
+        def build():
+            rng = np.random.default_rng(3)
+            xys, sig = [], []
+            for _ in range(n):
+                # unit cell with a random smooth void: points outside the void
+                theta = rng.uniform(0, 2 * np.pi, 16)
+                pts = rng.uniform(0, 1, size=(n_pts * 2, 2)).astype(np.float32)
+                c = rng.uniform(0.4, 0.6, 2)
+                rad = 0.15 + 0.08 * np.sin(
+                    3 * np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]) + theta[0]
+                )
+                keep = ((pts - c) ** 2).sum(-1) > rad**2
+                pts = pts[keep][:n_pts]
+                # pad by resampling if needed
+                while pts.shape[0] < n_pts:
+                    pts = np.concatenate([pts, pts[: n_pts - pts.shape[0]]])
+                d = np.sqrt(((pts - c) ** 2).sum(-1))
+                stress = 400 * np.exp(-((d - rad.mean()) ** 2) / 0.01) + 100 * pts[:, 1]
+                xys.append(pts)
+                sig.append(stress.astype(np.float32))
+            return dict(xy=np.stack(xys), sigma=np.stack(sig))
+
+        z = _cache(f"elas_n{n}", build)
+        sigma, xy = z["sigma"], z["xy"]
+        ntrain = min(ntrain, synth_n or 64)
+        ntest = min(ntest, sigma.shape[0] - ntrain)
+    return (
+        xy[:ntrain], sigma[:ntrain], xy[-ntest:], sigma[-ntest:],
+    )
+
+
+# --------------------------------------------------------------------------
+# Plasticity (exp_plas.py:105-116)
+# --------------------------------------------------------------------------
+
+def load_plasticity(data_path, ntrain=900, ntest=80, synth_n=None):
+    """Returns (x [n, 101*31, 1] bc-extruded, y [n, 101*31, 4, 20]).
+
+    Reference: input is a (N, 101) boundary condition extruded over the 31
+    rows; output is the (N, 101, 31, 20, 4) deformation trajectory reshaped
+    to (N, N_pts, 4, T).
+    """
+    path = os.path.join(data_path, "plas_N987_T20.mat")
+    s1, s2, T, out_dim = 101, 31, 20, 4
+    if os.path.exists(path):
+        d = _loadmat(path, ["input", "output"])
+        x = d["input"].astype(np.float32)  # (N, 101)
+        y = d["output"].astype(np.float32)  # (N, 101, 31, 20, 4)
+    else:
+        _warn_synth("plasticity", path)
+        n = (synth_n or 32) + max((synth_n or 32) // 4, 8)
+
+        def build():
+            rng = np.random.default_rng(11)
+            t1 = np.linspace(0, 1, s1, dtype=np.float32)
+            xs, ys = [], []
+            for _ in range(n):
+                a = rng.uniform(0.5, 2.0, 3).astype(np.float32)
+                bc = a[0] * np.sin(np.pi * t1) + a[1] * np.sin(2 * np.pi * t1)
+                tgrid = np.linspace(0, 1, T, dtype=np.float32)
+                v = np.linspace(0, 1, s2, dtype=np.float32)
+                # deformation grows in time, decays with depth
+                field = (
+                    bc[:, None, None, None]
+                    * (1 - v)[None, :, None, None]
+                    * tgrid[None, None, :, None]
+                    * np.array([1.0, 0.5, a[2], 0.1], np.float32)[None, None, None, :]
+                )
+                xs.append(bc)
+                ys.append(field.astype(np.float32))
+            return dict(x=np.stack(xs), y=np.stack(ys))
+
+        z = _cache(f"plas_n{n}", build)
+        x, y = z["x"], z["y"]
+        ntrain = min(ntrain, synth_n or 32)
+        ntest = min(ntest, x.shape[0] - ntrain)
+
+    x_ext = np.broadcast_to(x[:, :, None], (x.shape[0], s1, s2)).reshape(
+        x.shape[0], s1 * s2, 1
+    )
+    y_flat = y.transpose(0, 1, 2, 4, 3).reshape(y.shape[0], s1 * s2, out_dim, T)
+    return (
+        np.ascontiguousarray(x_ext[:ntrain], np.float32),
+        np.ascontiguousarray(y_flat[:ntrain], np.float32),
+        np.ascontiguousarray(x_ext[-ntest:], np.float32),
+        np.ascontiguousarray(y_flat[-ntest:], np.float32),
+        s1, s2, T, out_dim,
+    )

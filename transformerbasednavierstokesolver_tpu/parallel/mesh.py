@@ -1,0 +1,70 @@
+"""Device mesh + sharding layout.
+
+The reference has no distributed layer at all (single GPU,
+``CUDA_VISIBLE_DEVICES`` only -- SURVEY.md section 2.9/2.10); scaling here is
+first-class and TPU-native:
+
+* mesh axes ``('data', 'space')``: batch axis sharded over ``data`` (pure DP,
+  gradient psums ride ICI), mesh-point axis N sharded over ``space``
+  (physics-attention is naturally sequence-parallel: the slice phase is
+  pointwise in N, and the token-aggregation / slice-norm reductions over N
+  become XLA-inserted psums; the G x G attention is tiny and replicated);
+* convolution input projections over a spatially-sharded grid get their halo
+  exchanges inserted by XLA SPMD automatically;
+* everything runs through ``jax.jit`` with ``NamedSharding`` on the inputs --
+  no hand-written collectives on the model path.
+
+Works identically on a virtual 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) for tests.
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    space: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'space') mesh over the available devices.
+
+    With defaults, all devices go to the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % space == 0, (n, space)
+        data = n // space
+    assert data * space == n, f"mesh {data}x{space} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, space)
+    return Mesh(dev_array, axis_names=("data", "space"))
+
+
+def batch_pointcloud_spec() -> P:
+    """Spec for [B, N, C] activations: B over data, N over space, C replicated."""
+    return P("data", "space", None)
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def shard_batch(mesh: Mesh, *arrays, spec: Optional[P] = None):
+    """Device_put arrays with [B, N, ...] batch sharding on the given mesh."""
+    spec = spec if spec is not None else batch_pointcloud_spec()
+    out = tuple(
+        jax.device_put(a, NamedSharding(mesh, P(*spec[: a.ndim])))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_params(mesh: Mesh, tree):
+    """Replicate a parameter pytree across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

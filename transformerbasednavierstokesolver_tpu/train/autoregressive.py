@@ -1,0 +1,102 @@
+"""Autoregressive rollout loops as ``lax.scan``.
+
+TPU-native form of the reference's Python-loop BPTT:
+
+* ``teacher_forced_rollout`` == the exp_ns train loop (``exp_ns.py:198-208``):
+  at every step the model sees the ground-truth history (teacher forcing),
+  per-step relative-L2 losses are summed, gradients flow through all T
+  forward passes;
+* ``closed_loop_rollout`` == the eval loop (``exp_ns.py:230-238``): the
+  prediction is fed back into the history.
+
+Both operate on channel-stacked frame histories ``fx [B, N, T_in*step]`` and
+targets ``yy [B, N, T*step]``, sliding by ``step`` channels per frame like
+``fx = cat(fx[..., step:], y)``.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.losses import rel_lp
+
+
+def _stack_preds(preds_tbnc):
+    """[T, B, N, step] scan stack -> [B, N, T*step] channel concatenation."""
+    t, b, n, s = preds_tbnc.shape
+    return preds_tbnc.transpose(1, 2, 0, 3).reshape(b, n, t * s)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def teacher_forced_rollout(forward, x, fx, yy, step: int = 1):
+    """Teacher-forced unroll; returns (loss_sum, pred [B, N, T]).
+
+    ``forward(x, fx) -> [B, N, step]``; ``loss_sum`` is the sum over steps of
+    per-step ``rel_lp(..., reduction='sum')``, matching the reference's
+    accumulated step loss.
+    """
+    T = yy.shape[-1]
+    n_steps = T // step
+    bsz = x.shape[0]
+
+    def body(carry, t):
+        fx, loss = carry
+        y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
+        im = forward(x, fx)
+        loss = loss + rel_lp(
+            im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
+        )
+        fx = jnp.concatenate([fx[..., step:], y], axis=-1)
+        return (fx, loss), im
+
+    (_, loss), preds = lax.scan(
+        body, (fx, 0.0), jnp.arange(n_steps) * step
+    )
+    return loss, _stack_preds(preds)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
+    """Feed predictions back autoregressively; returns pred [B, N, n_steps*step]."""
+
+    def body(fx, _):
+        im = forward(x, fx)
+        fx = jnp.concatenate([fx[..., step:], im], axis=-1)
+        return fx, im
+
+    _, preds = lax.scan(body, fx, None, length=n_steps)
+    return _stack_preds(preds)
+
+
+def make_teacher_forced_loss(step: int = 1):
+    """Loss for ``make_update_fn``: full teacher-forced scan under one grad."""
+
+    def loss_fn(params, apply_fn, x, fx, yy):
+        def forward(x_, fx_):
+            return apply_fn({"params": params}, x_, fx_)
+
+        T = yy.shape[-1]
+        n_steps = T // step
+        bsz = x.shape[0]
+
+        def body(carry, t):
+            fx_, loss = carry
+            y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
+            im = forward(x, fx_)
+            loss = loss + rel_lp(
+                im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
+            )
+            fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
+            return (fx_, loss), im
+
+        (_, loss), preds = lax.scan(body, (fx, 0.0), jnp.arange(n_steps) * step)
+        full = rel_lp(
+            _stack_preds(preds).reshape(bsz, -1),
+            yy.reshape(bsz, -1),
+            reduction="sum",
+        )
+        return loss, {"step_loss": loss, "full_loss": full}
+
+    return loss_fn

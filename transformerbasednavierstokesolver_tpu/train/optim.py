@@ -1,0 +1,95 @@
+"""Optimizer construction with torch-parity OneCycle schedules.
+
+Every reference trainer uses ``AdamW(lr, weight_decay)`` +
+``OneCycleLR(max_lr, epochs, steps_per_epoch)`` with torch defaults
+(``exp_darcy.py:132-139``): pct_start 0.3, cosine annealing, div_factor 25,
+final_div_factor 1e4, and *cycled momentum* (beta1 between 0.85 and 0.95).
+``onecycle_lr`` / ``onecycle_momentum`` reproduce both schedules so training
+curves are comparable; gradient clipping precedes the update like
+``clip_grad_norm_`` before ``optimizer.step()`` (``exp_darcy.py:229-231``).
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+
+def onecycle_lr(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+):
+    """Cosine one-cycle LR: initial -> max at pct_start -> min at the end."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def onecycle_momentum(
+    total_steps: int,
+    pct_start: float = 0.3,
+    base_momentum: float = 0.85,
+    max_momentum: float = 0.95,
+):
+    """Torch OneCycleLR momentum cycling: max -> base during warmup, back to max."""
+    up = int(pct_start * total_steps) - 1
+    down = total_steps - up - 1
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        pct_up = jnp.clip(count / jnp.maximum(up, 1), 0.0, 1.0)
+        pct_down = jnp.clip((count - up) / jnp.maximum(down, 1), 0.0, 1.0)
+        cos_up = max_momentum + (base_momentum - max_momentum) * 0.5 * (
+            1 - jnp.cos(jnp.pi * pct_up)
+        )
+        cos_down = base_momentum + (max_momentum - base_momentum) * 0.5 * (
+            1 - jnp.cos(jnp.pi * pct_down)
+        )
+        return jnp.where(count <= up, cos_up, cos_down)
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float,
+    total_steps: int,
+    weight_decay: float = 1e-5,
+    max_grad_norm: Optional[float] = None,
+    pct_start: float = 0.3,
+    cycle_momentum: bool = True,
+    schedule: str = "onecycle",
+):
+    """AdamW + OneCycle (LR and beta1) + optional global-norm clipping."""
+    if schedule == "onecycle":
+        lr_sched = onecycle_lr(lr, total_steps, pct_start)
+        b1 = (
+            onecycle_momentum(total_steps, pct_start)
+            if cycle_momentum
+            else 0.9
+        )
+    elif schedule == "cosine":
+        lr_sched = optax.cosine_decay_schedule(lr, total_steps)
+        b1 = 0.9
+    elif schedule == "constant":
+        lr_sched = lr
+        b1 = 0.9
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+
+    opt = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr_sched,
+        b1=b1,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=weight_decay,
+    )
+    if max_grad_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+    return opt
