@@ -1,9 +1,12 @@
-"""Test harness: run on a virtual 8-device CPU mesh so sharding tests work
-without TPU hardware, with float32 matmuls for numerical checks."""
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+The environment's axon TPU plugin overrides JAX_PLATFORMS at interpreter
+start via jax.config, so the override must go through jax.config too, before
+any backend is initialized.  Sharding tests then see an 8-device CPU mesh.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +15,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

