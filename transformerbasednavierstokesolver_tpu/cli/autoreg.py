@@ -1,0 +1,105 @@
+"""Shared autoregressive benchmark runner.
+
+The teacher-forced-train / closed-loop-eval shape of ``exp_ns.py:185-246``
+and ``ns_velocity.py`` (identical up to ``step``/``out_dim`` and the data
+source), as jitted ``lax.scan`` loops.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..train.autoregressive import closed_loop_rollout, make_teacher_forced_loss
+from ..train.checkpoint import save_params
+from ..train.loop import create_train_state, make_update_fn
+from ..train.optim import make_optimizer
+from ..utils.losses import rel_lp
+from .common import (
+    checkpoint_path,
+    count_parameters,
+    epoch_batches,
+    maybe_load_params,
+)
+
+
+def run_autoregressive(
+    args, model, pos, train_a, train_u, test_a, test_u, T, step,
+    remat=False,
+):
+    ntrain, ntest = train_a.shape[0], test_a.shape[0]
+    t_in = train_a.shape[-1]
+    n = train_a.shape[1]
+    bsz = args.batch_size
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    tx = make_optimizer(
+        args.lr, args.epochs * steps_per_epoch, args.weight_decay,
+        args.max_grad_norm,
+    )
+    sample = (jnp.zeros((1, n, pos.shape[-1])), jnp.zeros((1, n, t_in)))
+
+    @jax.jit
+    def eval_batch(params, x, fx, yy):
+        forward = lambda x_, f_: model.apply({"params": params}, x_, f_)
+        pred = closed_loop_rollout(forward, x, fx, T // step, step)
+        b = x.shape[0]
+        step_loss = sum(
+            rel_lp(pred[..., t : t + step].reshape(b, -1),
+                   yy[..., t : t + step].reshape(b, -1), reduction="sum")
+            for t in range(0, T, step)
+        )
+        full = rel_lp(pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum")
+        return step_loss, full, pred
+
+    def evaluate(params):
+        step_sum = full_sum = 0.0
+        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+            x = jnp.asarray(pos.repeat(len(idx), 0))
+            s, f, _ = eval_batch(
+                params, x, jnp.asarray(test_a[idx]), jnp.asarray(test_u[idx])
+            )
+            step_sum += float(s)
+            full_sum += float(f)
+        return step_sum / ntest / (T / step), full_sum / ntest
+
+    if args.eval:
+        template = model.init(jax.random.PRNGKey(0), *sample)["params"]
+        params = maybe_load_params(args.save_name, template, geometry="grid2d")
+        print("evaluation mode")
+        count_parameters(params)
+        test_step, test_full = evaluate(params)
+        print(test_full)
+        return params, evaluate, eval_batch, test_full
+
+    state = create_train_state(jax.random.PRNGKey(args.seed), model, sample, tx)
+    count_parameters(state.params)
+    update = make_update_fn(make_teacher_forced_loss(step, remat=remat))
+
+    data_rng = np.random.default_rng(args.seed)
+    for ep in range(args.epochs):
+        train_step_l = train_full_l = 0.0
+        for idx in epoch_batches(data_rng, ntrain, bsz):
+            x = jnp.asarray(pos.repeat(len(idx), 0))
+            state, (loss, aux) = update(
+                state, x, jnp.asarray(train_a[idx]), jnp.asarray(train_u[idx])
+            )
+            train_step_l += float(aux["step_loss"])
+            train_full_l += float(aux["full_loss"])
+        test_step, test_full = evaluate(state.params)
+        print(
+            "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
+            "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
+                ep,
+                train_step_l / ntrain / (T / step),
+                train_full_l / ntrain,
+                test_step,
+                test_full,
+            )
+        )
+        if ep % 100 == 0:
+            print("save model")
+            save_params(checkpoint_path(args.save_name), state.params, state.step)
+
+    print("save model")
+    save_params(checkpoint_path(args.save_name), state.params, state.step)
+    return state.params, evaluate, eval_batch, evaluate(state.params)[1]

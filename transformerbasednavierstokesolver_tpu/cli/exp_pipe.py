@@ -1,0 +1,69 @@
+"""Pipe-flow benchmark (reference: ``exp_pipe.py``).
+
+Deformed 129x129 mesh; x and y UnitTransformer-normalized
+(``exp_pipe.py:83-91``), predictions decoded before the loss.
+"""
+
+import numpy as np
+
+from ..data.datasets import load_pipe
+from ..models import get_model
+from .common import base_parser
+from .steady import run_steady
+
+
+def build_argparser():
+    p = base_parser(
+        "Training Transolver (Pipe)",
+        model="Transolver_Structured_Mesh_2D",
+        save_name="pipe_Transolver",
+    )
+    p.add_argument("--downsamplex", type=int, default=1)
+    p.add_argument("--downsampley", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+
+    select_platform()
+    args = build_argparser().parse_args(argv)
+    x_train, y_train, x_test, y_test, s1, s2 = load_pipe(
+        args.data_path, 1000, 200, args.downsamplex, args.downsampley,
+        synth_n=args.synth_n,
+    )
+    print("Dataloading is over.")
+
+    # UnitTransformer over dims (0, 1): per-channel for x, scalar for y
+    xm = x_train.mean(axis=(0, 1), keepdims=True)
+    xs = x_train.std(axis=(0, 1), keepdims=True, ddof=1) + 1e-8
+    ym, ys = float(y_train.mean()), float(y_train.std(ddof=1)) + 1e-8
+    x_train = (x_train - xm) / xs
+    x_test = (x_test - xm) / xs
+
+    model = get_model(args.model)(
+        space_dim=2,
+        n_layers=args.n_layers,
+        n_hidden=args.n_hidden,
+        dropout=args.dropout,
+        n_head=args.n_heads,
+        Time_Input=False,
+        mlp_ratio=args.mlp_ratio,
+        fun_dim=0,
+        out_dim=1,
+        slice_num=args.slice_num,
+        ref=args.ref,
+        unified_pos=bool(args.unified_pos),
+        H=s1,
+        W=s2,
+        impl=args.impl,
+        precision=args.precision,
+    )
+    return run_steady(
+        args, model, x_train, y_train, x_test, y_test,
+        geometry="grid2d", y_stats=(ym, ys),
+    )
+
+
+if __name__ == "__main__":
+    main()

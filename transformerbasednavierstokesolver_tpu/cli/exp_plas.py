@@ -1,0 +1,175 @@
+"""Plasticity benchmark trainer (reference: ``exp_plas.py``).
+
+Time-conditioned deformation prediction on the 101x31 extruded-BC grid:
+per-timestep scalar T in [0, 1] via sinusoidal timestep embedding
+(``Time_Input=True``), out_dim=4; the reference shuffles the time axis per
+sample in its collate (``exp_plas.py:51-85``) and performs one optimizer
+step per timestep (``exp_plas.py:247-253``) with the scheduler stepped per
+batch -- reproduced here with the schedule laid out over the per-timestep
+update count.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import load_plasticity, meshgrid_pos
+from ..models import get_model
+from ..train.checkpoint import save_params
+from ..train.loop import create_train_state, make_update_fn
+from ..train.optim import make_optimizer
+from ..utils.losses import rel_lp
+from .common import (
+    base_parser,
+    checkpoint_path,
+    count_parameters,
+    epoch_batches,
+    maybe_load_params,
+)
+
+
+def build_argparser():
+    return base_parser(
+        "Training Transolver (Plasticity)",
+        model="Transolver_Structured_Mesh_2D",
+        save_name="plas_Transolver",
+        ntrain=900,
+        batch_size=8,
+    )
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+
+    select_platform()
+    args = build_argparser().parse_args(argv)
+    ntest = 80
+
+    x_train, y_train, x_test, y_test, s1, s2, T, out_dim = load_plasticity(
+        args.data_path, args.ntrain, ntest, synth_n=args.synth_n
+    )
+    ntrain, ntest = x_train.shape[0], x_test.shape[0]
+
+    # x UnitTransformer (exp_plas.py:119-122)
+    xm = x_train.mean()
+    xs = x_train.std(ddof=1) + 1e-8
+    x_train = (x_train - xm) / xs
+    x_test = (x_test - xm) / xs
+
+    pos = meshgrid_pos(s1, s2)
+    t_grid = np.linspace(0, 1, T, dtype=np.float32)
+    print("Dataloading is over.")
+
+    model = get_model(args.model)(
+        space_dim=2,
+        n_hidden=args.n_hidden,
+        n_layers=args.n_layers,
+        Time_Input=True,
+        n_head=args.n_heads,
+        fun_dim=1,
+        out_dim=out_dim,
+        mlp_ratio=args.mlp_ratio,
+        slice_num=args.slice_num,
+        ref=args.ref,
+        unified_pos=bool(args.unified_pos),
+        H=s1,
+        W=s2,
+        impl=args.impl,
+        precision=args.precision,
+    )
+    bsz = args.batch_size
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    tx = make_optimizer(
+        args.lr, args.epochs * steps_per_epoch * T, args.weight_decay,
+        args.max_grad_norm,
+    )
+    sample = (
+        jnp.zeros((1, s1 * s2, 2)),
+        jnp.zeros((1, s1 * s2, 1)),
+        jnp.zeros((1, 1)),
+    )
+
+    def loss_fn(params, apply_fn, x, fx, y, tt):
+        im = apply_fn({"params": params}, x, fx, tt)
+        b = x.shape[0]
+        return rel_lp(im.reshape(b, -1), y.reshape(b, -1), reduction="sum"), {}
+
+    @jax.jit
+    def predict(params, x, fx, tt):
+        return model.apply({"params": params}, x, fx, tt)
+
+    def evaluate(params):
+        step_sum = full_sum = 0.0
+        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+            b = len(idx)
+            x = jnp.asarray(pos.repeat(b, 0))
+            fx = jnp.asarray(x_test[idx])
+            yy = y_test[idx]  # [b, N, 4, T]
+            preds = []
+            for t in range(T):
+                tt = jnp.full((b, 1), t_grid[t])
+                im = predict(params, x, fx, tt)
+                preds.append(np.asarray(im))
+                step_sum += float(
+                    rel_lp(im.reshape(b, -1),
+                           jnp.asarray(yy[..., t].reshape(b, -1)),
+                           reduction="sum")
+                )
+            pred = np.stack(preds, axis=-1)
+            full_sum += float(
+                rel_lp(jnp.asarray(pred.reshape(b, -1)),
+                       jnp.asarray(yy.reshape(b, -1)), reduction="sum")
+            )
+        return step_sum / ntest / T, full_sum / ntest
+
+    if args.eval:
+        template = model.init(jax.random.PRNGKey(0), *sample)["params"]
+        params = maybe_load_params(args.save_name, template, geometry="grid2d")
+        count_parameters(params)
+        ts, tf = evaluate(params)
+        print("test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(ts, tf))
+        return tf
+
+    state = create_train_state(jax.random.PRNGKey(args.seed), model, sample, tx)
+    count_parameters(state.params)
+    update = make_update_fn(loss_fn)
+
+    data_rng = np.random.default_rng(args.seed)
+    for ep in range(args.epochs):
+        train_step_l = 0.0
+        for idx in epoch_batches(data_rng, ntrain, bsz):
+            b = len(idx)
+            x = jnp.asarray(pos.repeat(b, 0))
+            fx = jnp.asarray(x_train[idx])
+            yy = y_train[idx]
+            # per-sample random time permutation (random_collate_fn parity)
+            perms = np.stack([data_rng.permutation(T) for _ in range(b)])
+            for t in range(T):
+                pt = perms[:, t]
+                y_t = np.take_along_axis(
+                    yy, pt[:, None, None, None], axis=-1
+                )[..., 0]
+                tt = jnp.asarray(t_grid[pt][:, None])
+                state, (loss, _) = update(
+                    state, x, fx, jnp.asarray(y_t), tt
+                )
+                train_step_l += float(loss)
+        ts, tf = evaluate(state.params)
+        print(
+            "Epoch {} , train_step_loss:{:.5f} , test_step_loss:{:.5f} , "
+            "test_full_loss:{:.5f}".format(
+                ep, train_step_l / ntrain / T, ts, tf
+            )
+        )
+        if ep % 100 == 0:
+            print("save model")
+            save_params(checkpoint_path(args.save_name), state.params, state.step)
+
+    print("save model")
+    save_params(checkpoint_path(args.save_name), state.params, state.step)
+    return evaluate(state.params)[1]
+
+
+if __name__ == "__main__":
+    main()

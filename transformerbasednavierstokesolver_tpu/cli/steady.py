@@ -1,0 +1,104 @@
+"""Shared steady-state benchmark runner.
+
+Elasticity, Airfoil and Pipe are the same training shape
+(``exp_elas.py:158-185``, ``exp_airfoil.py:181-210``, ``exp_pipe.py:199-230``):
+``out = model(x, None)``, rel-L2 loss (optionally on normalizer-decoded
+fields), AdamW + scheduler, per-epoch eval -- only the data loading,
+normalizers, geometry and schedule differ.  One jitted runner serves all
+three.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..train.checkpoint import save_params
+from ..train.loop import create_train_state, make_update_fn
+from ..train.optim import make_optimizer
+from ..utils.losses import rel_lp
+from .common import (
+    checkpoint_path,
+    count_parameters,
+    epoch_batches,
+    maybe_load_params,
+)
+
+
+def run_steady(
+    args,
+    model,
+    x_train,
+    y_train,
+    x_test,
+    y_test,
+    *,
+    geometry="grid2d",
+    y_stats=None,  # (mean, std): predictions are decoded; targets stay raw
+    schedule="onecycle",
+    schedule_per_epoch=False,
+    eval_figures=None,  # callable(params, predict) for --eval figure dumps
+):
+    ntrain, ntest = x_train.shape[0], x_test.shape[0]
+    bsz = args.batch_size
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    total = args.epochs * (1 if schedule_per_epoch else steps_per_epoch)
+    tx = make_optimizer(
+        args.lr, total, args.weight_decay, args.max_grad_norm, schedule=schedule
+    )
+
+    ym, ys = (0.0, 1.0) if y_stats is None else y_stats
+
+    def loss_fn(params, apply_fn, x, y):
+        out = apply_fn({"params": params}, x, None)[..., 0]
+        out = out * ys + ym
+        return rel_lp(out, y, reduction="sum"), {}
+
+    @jax.jit
+    def predict(params, x):
+        out = model.apply({"params": params}, x, None)[..., 0]
+        return out * ys + ym
+
+    def evaluate(params):
+        rel = 0.0
+        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+            out = predict(params, jnp.asarray(x_test[idx]))
+            rel += float(rel_lp(out, jnp.asarray(y_test[idx]), reduction="sum"))
+        return rel / ntest
+
+    sample = (jnp.zeros((1,) + x_train.shape[1:]),)
+
+    if args.eval:
+        template = model.init(jax.random.PRNGKey(0), sample[0], None)["params"]
+        params = maybe_load_params(args.save_name, template, geometry=geometry)
+        count_parameters(params)
+        rel_err = evaluate(params)
+        if eval_figures is not None:
+            eval_figures(params, predict)
+        print(f"rel_err:{rel_err}")
+        return rel_err
+
+    state = create_train_state(
+        jax.random.PRNGKey(args.seed), model, sample + (None,), tx
+    )
+    count_parameters(state.params)
+    update = make_update_fn(loss_fn)
+
+    data_rng = np.random.default_rng(args.seed)
+    for ep in range(args.epochs):
+        train_loss = 0.0
+        for idx in epoch_batches(data_rng, ntrain, bsz):
+            x = jnp.asarray(x_train[idx])
+            y = jnp.asarray(y_train[idx])
+            state, (loss, _) = update(state, x, y)
+            train_loss += float(loss)
+        print("Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain))
+        rel_err = evaluate(state.params)
+        print(f"rel_err:{rel_err}")
+        if ep % 100 == 0:
+            print("save model")
+            save_params(checkpoint_path(args.save_name), state.params, state.step)
+
+    print("save model")
+    save_params(checkpoint_path(args.save_name), state.params, state.step)
+    return evaluate(state.params)

@@ -185,7 +185,7 @@ def _synthetic_deformed_grid(key_seed, n_samples, s1, s2, kind):
         ph = rng.uniform(0, 2 * np.pi, size=3).astype(np.float32)
         if kind == "airfoil":
             # C-mesh-like wrap around a random thickness profile
-            thick = amp[0] * np.sin(np.pi * U) ** 1.5
+            thick = amp[0] * np.clip(np.sin(np.pi * U), 0, None) ** 1.5
             X = U * 2 - 0.5 + amp[1] * 0.1 * np.sin(2 * np.pi * U + ph[0])
             Y = (V - 0.5) * (0.2 + V * 1.8) + thick * np.sin(np.pi * V + ph[1])
             Q = np.exp(-8 * ((U - 0.4) ** 2 + (V - 0.5) ** 2)) * (
@@ -335,7 +335,8 @@ def load_plasticity(data_path, ntrain=900, ntest=80, synth_n=None):
             for _ in range(n):
                 a = rng.uniform(0.5, 2.0, 3).astype(np.float32)
                 bc = a[0] * np.sin(np.pi * t1) + a[1] * np.sin(2 * np.pi * t1)
-                tgrid = np.linspace(0, 1, T, dtype=np.float32)
+                # strictly positive time factor: rel-L2 targets must not be 0
+                tgrid = np.linspace(1.0 / T, 1, T, dtype=np.float32)
                 v = np.linspace(0, 1, s2, dtype=np.float32)
                 # deformation grows in time, decays with depth
                 field = (
