@@ -1,0 +1,223 @@
+"""Slice-weight predictor trainers.
+
+Reference drivers: ``LearnSlice.py:344-588`` (per-point code+pos head),
+``LearnSlice.py:590-793`` (from the previous frame's slice + token),
+``LearnSlice.py:796-1006`` (conv head from the vorticity history), and the
+``SliceLearner`` standalone module.  All train with MSE against the frozen
+encoder's ground-truth slice weights of the target frame.
+
+``--mode`` selects the head: ``code`` | ``previous`` | ``vorticity`` |
+``slice_learner``.  Codes come from a trained SequenSolver checkpoint when
+``--sequen_path`` is given; otherwise the predicted-code path is replaced by
+the encoder's last-frame token (documented fallback so the driver runs
+standalone).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import load_ns_vorticity
+from ..models.sequensolver import SequenSolverMerged
+from ..models.slice_learners import LearnSlice, SliceLearner
+from ..ops.embedding import unified_pos_grid_2d
+from ..train.checkpoint import restore_params, save_params
+from ..train.loop import TrainState, make_update_fn
+from ..train.optim import freeze_subtrees, make_optimizer
+from .common import count_parameters, epoch_batches
+
+H = W = 64
+T_IN = 10
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("Training slice learners")
+    p.add_argument("--mode", type=str, default="vorticity",
+                   choices=["code", "previous", "vorticity", "slice_learner"])
+    p.add_argument("--eval", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--save_name", type=str, default="slice")
+    p.add_argument("--sim_num", type=int, default=20)
+    p.add_argument("--unified_pos", type=int, default=1)
+    p.add_argument("--encoder_path", type=str,
+                   default="./sequential_checkpoints/encoder.ckpt")
+    p.add_argument("--encoder_layers", type=int, default=8)
+    p.add_argument("--data_path", type=str, default="/data/fno")
+    p.add_argument("--synth_n", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def seq_ckpt(name):
+    os.makedirs("./sequential_checkpoints", exist_ok=True)
+    return os.path.join("./sequential_checkpoints", name + ".ckpt")
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+    from .sequen_solver import load_encoder_params
+
+    select_platform()
+    args = build_argparser().parse_args(argv)
+
+    train_a, train_u, test_a, test_u, h = load_ns_vorticity(
+        args.data_path, args.sim_num, 10, T_IN, 10, 1, synth_sims=args.synth_n
+    )
+    ntrain, ntest = train_a.shape[0], test_a.shape[0]
+
+    unified = bool(args.unified_pos)
+    pos_u = unified_pos_grid_2d(H, W, 8)
+    gx = np.linspace(0, 1, H, dtype=np.float32)
+    mx, my = np.meshgrid(gx, gx)
+    pos_2d = np.stack([mx.ravel(), my.ravel()], -1)[None]
+    x_feat = pos_u if unified else pos_2d
+
+    # frozen encoder (wrapped in the SequenSolver module for encode helpers)
+    enc_wrap = SequenSolverMerged(
+        T=T_IN, H=H, W=W, M=16, C=32, encoder_layers=args.encoder_layers
+    )
+    sample_enc = (
+        jnp.zeros((1, H * W, pos_u.shape[-1])),
+        jnp.zeros((1, H * W, T_IN)),
+    )
+    # init through the full forward so the encoder template covers a complete
+    # checkpoint (encode-only init would miss the decoder-head params)
+    enc_vars = enc_wrap.init(
+        jax.random.PRNGKey(0), *sample_enc, use_gt=False
+    )["params"]
+    enc_params = dict(enc_vars)
+    enc_params["encoder"] = load_encoder_params(
+        args.encoder_path, enc_vars["encoder"]
+    )
+
+    @jax.jit
+    def gt_slice(y):
+        """Ground-truth slice weights of a frame from the frozen encoder."""
+        xb = jnp.broadcast_to(jnp.asarray(pos_u), (y.shape[0],) + pos_u.shape[1:])
+        return enc_wrap.apply(
+            {"params": enc_params}, xb, y, method=SequenSolverMerged.target_slice
+        )
+
+    @jax.jit
+    def last_token(fx):
+        xb = jnp.broadcast_to(jnp.asarray(pos_u), (fx.shape[0],) + pos_u.shape[1:])
+        toks = enc_wrap.apply(
+            {"params": enc_params}, xb, fx,
+            method=SequenSolverMerged.encode_frames,
+        )  # [B, 1, T, M*C]
+        return toks[:, :, -1].reshape(fx.shape[0], 1, 16, 32)
+
+    if args.mode == "slice_learner":
+        model = SliceLearner(
+            space_dim=2, n_hidden=64, fun_dim=T_IN, unified_pos=unified,
+            H=H, W=W, slice_num=16, ref=8,
+        )
+
+        def predict(params, x, fx, code, prev):
+            return model.apply({"params": params}, x, fx)
+
+        init_args = (jnp.zeros((1, H * W, 2)), jnp.zeros((1, H * W, T_IN)))
+        init_method = None
+    else:
+        model = LearnSlice(
+            unified_pos=unified, use_vorticity=False,
+            use_code_for_vorticity=True,
+        )
+        if args.mode == "code":
+            def predict(params, x, fx, code, prev):
+                return model.apply({"params": params}, code[:, 0], x)
+
+            init_args = (jnp.zeros((1, 16, 32)), jnp.zeros((1, H * W, x_feat.shape[-1])))
+            init_method = None
+        elif args.mode == "previous":
+            def predict(params, x, fx, code, prev):
+                return model.apply(
+                    {"params": params}, prev, code,
+                    method=LearnSlice.forward_previous_slice,
+                )
+
+            init_args = (
+                jnp.zeros((1, 1, H * W, 16)), jnp.zeros((1, 1, 16, 32)),
+            )
+            init_method = LearnSlice.forward_previous_slice
+        else:  # vorticity
+            def predict(params, x, fx, code, prev):
+                return model.apply(
+                    {"params": params}, x, fx, code,
+                    method=LearnSlice.forward_from_vorticity,
+                )
+
+            init_args = (
+                jnp.zeros((1, H * W, x_feat.shape[-1])),
+                jnp.zeros((1, H * W, T_IN)),
+                jnp.zeros((1, 1, 16, 32)),
+            )
+            init_method = LearnSlice.forward_from_vorticity
+
+    params = model.init(jax.random.PRNGKey(args.seed), *init_args,
+                        method=init_method)["params"]
+    bsz = args.batch_size
+    steps = args.epochs * ((ntrain + bsz - 1) // bsz) * T_IN
+    tx = make_optimizer(args.lr, steps, 1e-5, None)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    count_parameters(state.params)
+
+    def loss_fn(params, apply_fn, x, fx, code, prev, target):
+        w = predict(params, x, fx, code, prev)
+        return jnp.mean((w - target) ** 2), {}
+
+    update = make_update_fn(loss_fn, donate=False)
+
+    def batch_features(a_slice, y):
+        x = jnp.asarray(x_feat.repeat(a_slice.shape[0], 0))
+        code = last_token(jnp.asarray(a_slice))
+        prev = gt_slice(jnp.asarray(a_slice[..., -1:]))
+        target = gt_slice(jnp.asarray(y))
+        return x, code, prev, target
+
+    def run_epoch(state, a, u, n, train=True):
+        total = 0.0
+        for idx in epoch_batches(np.random.default_rng(args.seed), n, bsz,
+                                 shuffle=train):
+            fx = a[idx]
+            for t in range(T_IN):
+                y = u[idx][..., t : t + 1]
+                x, code, prev, target = batch_features(fx, y)
+                if train:
+                    state, (loss, _) = update(
+                        state, x, jnp.asarray(fx), code, prev, target
+                    )
+                else:
+                    loss, _ = loss_fn(
+                        state.params, model.apply, x, jnp.asarray(fx),
+                        code, prev, target,
+                    )
+                total += float(loss)
+                fx = np.concatenate([fx[..., 1:], y], axis=-1)
+        return state, total / n / T_IN
+
+    if args.eval:
+        state = state.replace(
+            params=restore_params(seq_ckpt(args.save_name), state.params)
+        )
+        _, mse = run_epoch(state, test_a, test_u, ntest, train=False)
+        print(f"eval slice MSE: {mse}")
+        return
+
+    for ep in range(args.epochs):
+        state, tr = run_epoch(state, train_a, train_u, ntrain, train=True)
+        _, te = run_epoch(state, test_a, test_u, ntest, train=False)
+        print(f"Epoch {ep} , train_mse:{tr:.6f} , test_mse:{te:.6f}")
+
+    print("save model")
+    save_params(seq_ckpt(args.save_name), state.params, state.step)
+
+
+if __name__ == "__main__":
+    main()

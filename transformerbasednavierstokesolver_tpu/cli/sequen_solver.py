@@ -1,0 +1,225 @@
+"""SequenSolver trainers (reference: ``SequenSolverMerged.py:347-523`` and
+``SequenSolver.py:469-645``).
+
+Latent-space next-frame prediction: a frozen pretrained Transolver encoder
+maps frames to slice-token codes; a causal temporal transformer predicts the
+next code; learned slice weights deslice it back to a field.  Teacher-forced
+training (gt frame appended to the history), closed-loop rollout eval.
+
+The frozen encoder's parameters sit under the ``encoder`` subtree and are
+masked out of the optimizer (``freeze_subtrees``); its outputs carry
+``stop_gradient``.  Flags match the reference's 4-flag parser
+(``SequenSolverMerged.py:528-535``) plus the shared extras.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import load_ns_vorticity
+from ..models.sequensolver import SequenSolver, SequenSolverMerged
+from ..ops.embedding import unified_pos_grid_2d
+from ..train.checkpoint import restore_params, save_params
+from ..train.loop import create_train_state, make_update_fn
+from ..train.optim import freeze_subtrees, make_optimizer
+from ..utils.losses import rel_lp
+from .common import epoch_batches, count_parameters
+
+T_IN = 10
+T_OUT = 10
+H = W = 64
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("Training SequenSolver")
+    p.add_argument("--eval", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--save_name", type=str, default="buff")
+    p.add_argument("--sim_num", type=int, default=10)
+    p.add_argument("--variant", type=str, default="merged",
+                   choices=["merged", "original"])
+    p.add_argument("--encoder_path", type=str,
+                   default="./sequential_checkpoints/encoder.ckpt")
+    p.add_argument("--data_path", type=str, default="/data/fno")
+    p.add_argument("--synth_n", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_gt_epochs", type=int, default=5,
+                   help="original variant: epochs using gt slice weights")
+    return p
+
+
+def seq_ckpt(name):
+    os.makedirs("./sequential_checkpoints", exist_ok=True)
+    return os.path.join("./sequential_checkpoints", name + ".ckpt")
+
+
+def load_encoder_params(path, template):
+    """Load pretrained encoder params from a native ckpt or reference .pt."""
+    if path.endswith(".pt") and os.path.exists(path):
+        from ..train.checkpoint import import_torch_state_dict
+
+        return import_torch_state_dict(path, geometry="grid2d", variant="encoder")
+    if os.path.exists(path):
+        return restore_params(path, template)
+    import warnings
+
+    warnings.warn(
+        f"encoder checkpoint {path!r} not found -- using randomly initialized "
+        f"(frozen) encoder; train one with auto_encoder.py first."
+    )
+    return template
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+
+    select_platform()
+    args = build_argparser().parse_args(argv)
+
+    ntrain = args.sim_num
+    ntest = 10
+    train_a, train_u, test_a, test_u, h = load_ns_vorticity(
+        args.data_path, ntrain, ntest, T_IN, T_OUT, 1, synth_sims=args.synth_n
+    )
+    ntrain, ntest = train_a.shape[0], test_a.shape[0]
+    assert h == H
+
+    pos = unified_pos_grid_2d(H, W, 8)  # [1, N, 64]
+    pos2d = None
+    if args.variant == "original":
+        gx = np.linspace(0, 1, h, dtype=np.float32)
+        mx, my = np.meshgrid(gx, gx)
+        pos2d = np.stack([mx.ravel(), my.ravel()], -1)[None]
+
+    if args.variant == "merged":
+        model = SequenSolverMerged(T=T_IN, H=H, W=W, M=16, C=32, layers=8,
+                                   sequential_head=16)
+        x_feat = pos
+    else:
+        model = SequenSolver(T=T_IN, H=H, W=W, M=16, C=32, layers=8)
+        x_feat = pos2d
+
+    bsz = args.batch_size
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    tx = freeze_subtrees(
+        make_optimizer(args.lr, args.epochs * steps_per_epoch, 1e-5, None),
+        {"encoder"},
+    )
+    sample = (
+        jnp.zeros((1, H * W, x_feat.shape[-1])),
+        jnp.zeros((1, H * W, T_IN)),
+        jnp.zeros((1, H * W, 1)),
+    )
+
+    def init_model(rng):
+        # use_gt=False exercises every parameterized path (the gt branch only
+        # adds an extra encoder call on shared params)
+        variables = model.init(rng, *sample, use_gt=False)
+        params = variables["params"]
+        enc = load_encoder_params(args.encoder_path, params["encoder"])
+        params = dict(params)
+        params["encoder"] = enc
+        return params
+
+    def make_loss(use_gt):
+        def loss_fn(params, apply_fn, x, fx, yy):
+            b = x.shape[0]
+            loss = 0.0
+            preds = []
+            for t in range(T_OUT):
+                y = jax.lax.dynamic_slice_in_dim(yy, t, 1, axis=-1)
+                im = apply_fn({"params": params}, x, fx, y, use_gt=use_gt)
+                loss = loss + rel_lp(
+                    im.reshape(b, -1), y.reshape(b, -1), reduction="sum"
+                )
+                preds.append(im)
+                fx = jnp.concatenate([fx[..., 1:], y], axis=-1)
+            pred = jnp.concatenate(preds, axis=-1)
+            full = rel_lp(pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum")
+            return loss, {"full": full}
+
+        return loss_fn
+
+    @jax.jit
+    def eval_batch(params, x, fx, yy):
+        b = x.shape[0]
+        loss = 0.0
+        preds = []
+        for t in range(T_OUT):
+            y = jax.lax.dynamic_slice_in_dim(yy, t, 1, axis=-1)
+            im = model.apply({"params": params}, x, fx, y, use_gt=False)
+            loss = loss + rel_lp(
+                im.reshape(b, -1), y.reshape(b, -1), reduction="sum"
+            )
+            preds.append(im)
+            fx = jnp.concatenate([fx[..., 1:], im], axis=-1)  # closed loop
+        pred = jnp.concatenate(preds, axis=-1)
+        full = rel_lp(pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum")
+        first = rel_lp(
+            preds[0].reshape(b, -1), yy[..., :1].reshape(b, -1), reduction="sum"
+        )
+        return loss, full, first
+
+    def evaluate(params):
+        s = f = fi = 0.0
+        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+            x = jnp.asarray(x_feat.repeat(len(idx), 0))
+            a, b_, c = eval_batch(
+                params, x, jnp.asarray(test_a[idx]), jnp.asarray(test_u[idx])
+            )
+            s += float(a); f += float(b_); fi += float(c)
+        return s / ntest / T_IN, f / ntest, fi / ntest
+
+    if args.eval:
+        rng = jax.random.PRNGKey(0)
+        template = init_model(rng)
+        params = restore_params(seq_ckpt(args.save_name), template)
+        print("evaluation mode")
+        _, full, _ = evaluate(params)
+        print(full)
+        return full
+
+    params = init_model(jax.random.PRNGKey(args.seed))
+    from ..train.loop import TrainState
+
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    count_parameters(state.params)
+
+    update_cache = {
+        g: make_update_fn(make_loss(g), donate=False)
+        for g in ({True, False} if args.variant == "original" else {False})
+    }
+    data_rng = np.random.default_rng(args.seed)
+    for ep in range(args.epochs):
+        use_gt = args.variant == "original" and ep < args.use_gt_epochs
+        update = update_cache[use_gt]
+        tr_s = tr_f = 0.0
+        for idx in epoch_batches(data_rng, ntrain, bsz):
+            x = jnp.asarray(x_feat.repeat(len(idx), 0))
+            state, (loss, aux) = update(
+                state, x, jnp.asarray(train_a[idx]), jnp.asarray(train_u[idx])
+            )
+            tr_s += float(loss)
+            tr_f += float(aux["full"])
+        ts, tf, tfirst = evaluate(state.params)
+        print(
+            "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
+            "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
+                ep, tr_s / ntrain / T_IN, tr_f / ntrain, ts, tf
+            )
+        )
+        print(f"first frame loss {tfirst}")
+
+    print("save model")
+    save_params(seq_ckpt(args.save_name), state.params, state.step)
+    return evaluate(state.params)[1]
+
+
+if __name__ == "__main__":
+    main()

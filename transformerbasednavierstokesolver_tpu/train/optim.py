@@ -89,13 +89,37 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 
-    opt = optax.inject_hyperparams(optax.adamw)(
+    opt = _adamw(lr_sched, b1, weight_decay)
+    if max_grad_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+    return opt
+
+
+def _adamw(lr_sched, b1, weight_decay):
+    return optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr_sched,
         b1=b1,
         b2=0.999,
         eps=1e-8,
         weight_decay=weight_decay,
     )
-    if max_grad_norm is not None:
-        opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
-    return opt
+
+
+def freeze_subtrees(tx, frozen_keys):
+    """Mask updates for top-level param subtrees (e.g. a frozen encoder).
+
+    The reference freezes via ``requires_grad=False``
+    (``SequenSolverMerged.py:84-86``); here the equivalent is a
+    multi-transform that zeroes updates for the named top-level keys
+    (combined with ``stop_gradient`` at the frozen module's outputs).
+    """
+
+    def label(params):
+        return {
+            k: ("frozen" if k in frozen_keys else "trainable")
+            for k in params
+        }
+
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, label
+    )
