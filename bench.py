@@ -40,6 +40,8 @@ def main():
         H=h, W=h,
         impl=os.environ.get("BENCH_IMPL", "xla"),
         use_checkpoint=os.environ.get("BENCH_REMAT_BLOCKS", "0") == "1",
+        dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16"
+               else None),
     )
     rng = np.random.default_rng(0)
     x = jnp.zeros((bsz, h * h, 2), jnp.float32)

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Pipe benchmark, canonical hyperparameters (reference scripts/Transolver_Pipe.sh)
+python exp_pipe.py \
+  --gpu 0 \
+  --model Transolver_Structured_Mesh_2D \
+  --n-hidden 128 \
+  --n-heads 8 \
+  --n-layers 8 \
+  --lr 0.001 \
+  --max_grad_norm 0.1 \
+  --batch-size 8 \
+  --slice_num 64 \
+  --unified_pos 0 \
+  --ref 8 \
+  --mlp_ratio 2 \
+  --eval 0 \
+  --save_name pipe_Transolver

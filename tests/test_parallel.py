@@ -1,0 +1,83 @@
+"""Multi-device sharding: the (data, space) mesh must reproduce single-device
+numerics for the full training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from transformerbasednavierstokesolver_tpu.models import Transolver
+from transformerbasednavierstokesolver_tpu.parallel import (
+    make_mesh,
+    replicate_params,
+    shard_batch,
+)
+from transformerbasednavierstokesolver_tpu.train.autoregressive import (
+    make_teacher_forced_loss,
+)
+from transformerbasednavierstokesolver_tpu.train.loop import (
+    create_train_state,
+    make_update_fn,
+)
+from transformerbasednavierstokesolver_tpu.train.optim import make_optimizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _setup():
+    h, t_in, t_out, bsz = 8, 4, 4, 8
+    model = Transolver(
+        space_dim=2, n_layers=2, n_hidden=32, n_head=4, fun_dim=t_in,
+        out_dim=1, slice_num=8, ref=4, unified_pos=True, geometry="grid2d",
+        H=h, W=h,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.zeros((bsz, h * h, 2))
+    fx = jnp.asarray(rng.normal(size=(bsz, h * h, t_in)), jnp.float32)
+    yy = jnp.asarray(rng.normal(size=(bsz, h * h, t_out)), jnp.float32)
+    tx = make_optimizer(1e-3, 100, 1e-5, 0.1)
+    state = create_train_state(jax.random.PRNGKey(0), model, (x[:1], fx[:1]), tx)
+    return state, x, fx, yy
+
+
+def test_sharded_train_step_matches_single_device():
+    state, x, fx, yy = _setup()
+    update = make_update_fn(make_teacher_forced_loss(1), donate=False)
+
+    # single device
+    s1, (loss1, _) = update(state, x, fx, yy)
+
+    # 4x2 (data, space) mesh
+    mesh = make_mesh(data=4, space=2)
+    sharding = NamedSharding(mesh, P("data", "space", None))
+    xs, fxs, yys = (jax.device_put(a, sharding) for a in (x, fx, yy))
+    state_r = state.replace(
+        params=replicate_params(mesh, state.params),
+        opt_state=replicate_params(mesh, state.opt_state),
+    )
+    s2, (loss2, _) = update(state_r, xs, fxs, yys)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_shard_batch_helper():
+    mesh = make_mesh(data=4, space=2)
+    x = jnp.zeros((8, 64, 3))
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == P("data", "space", None)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(space=2)
+    assert mesh2.shape["space"] == 2

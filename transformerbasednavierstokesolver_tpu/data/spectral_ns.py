@@ -64,11 +64,11 @@ def mcwilliams_vorticity_hat(key, n, k0=6.0, domain=2 * jnp.pi):
     kr, ki = jax.random.split(key)
     phase = jax.random.normal(kr, (n, n)) + 1j * jax.random.normal(ki, (n, n))
     psi_hat = spectrum * phase
-    # normalize to unit kinetic energy: KE = 0.5 <|grad psi|^2>
-    u_hat = 1j * ky * psi_hat
-    v_hat = -1j * kx * psi_hat
-    u = jnp.fft.ifft2(u_hat).real
-    v = jnp.fft.ifft2(v_hat).real
+    # Hermitian-symmetrize so psi is real and u/v/w stay exactly consistent
+    psi_hat = jnp.fft.fft2(jnp.fft.ifft2(psi_hat).real)
+    # normalize kinetic energy KE = 0.5 <|u|^2 + |v|^2> to 0.5
+    u = jnp.fft.ifft2(1j * ky * psi_hat).real
+    v = jnp.fft.ifft2(-1j * kx * psi_hat).real
     ke = 0.5 * jnp.mean(u**2 + v**2)
     psi_hat = psi_hat / jnp.sqrt(2 * ke)
     w_hat = k2 * psi_hat  # w = -lap psi  ->  w_hat = k2 psi_hat

@@ -44,7 +44,7 @@ from ..ops.embedding import (
 from ..ops.initializers import placeholder_init, trunc_normal_002, zeros
 from ..ops.mlp import MLP
 
-LN = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
+LN = lambda name, dtype=None: nn.LayerNorm(epsilon=1e-5, name=name, dtype=dtype)
 
 
 class TransolverBlock(nn.Module):
@@ -61,9 +61,10 @@ class TransolverBlock(nn.Module):
     autoencoder: bool = False
     impl: str = "xla"
     precision: Optional[str] = None
+    dtype: Optional[str] = None
 
     def setup(self):
-        self.ln_1 = LN("ln_1")
+        self.ln_1 = LN("ln_1", self.dtype)
         self.Attn = PhysicsAttention(
             dim=self.hidden_dim,
             heads=self.num_heads,
@@ -75,15 +76,17 @@ class TransolverBlock(nn.Module):
             autoencoder=self.autoencoder,
             impl=self.impl,
             precision=self.precision,
+            dtype=self.dtype,
             name="Attn",
         )
-        self.ln_2 = LN("ln_2")
+        self.ln_2 = LN("ln_2", self.dtype)
         self.mlp = MLP(
             n_hidden=self.hidden_dim * self.mlp_ratio,
             n_output=self.hidden_dim,
             n_layers=0,
             res=False,
             act=self.act,
+            dtype=self.dtype,
             name="mlp",
         )
 
@@ -148,6 +151,7 @@ class Transolver(nn.Module):
     use_checkpoint: bool = False
     impl: str = "xla"
     precision: Optional[str] = None
+    dtype: Optional[str] = None  # compute dtype, e.g. jnp.bfloat16 for speed
 
     @property
     def grid_shape(self):
@@ -177,6 +181,7 @@ class Transolver(nn.Module):
             n_layers=0,
             res=False,
             act=self.act,
+            dtype=self.dtype,
             name="preprocess",
         )
         del in_dim  # shape is inferred lazily by flax; kept for documentation
@@ -205,6 +210,7 @@ class Transolver(nn.Module):
             autoencoder=(self.variant == "encoder"),
             impl=self.impl,
             precision=self.precision,
+            dtype=self.dtype,
         )
         n_scan = self.n_layers if self.variant == "standard" else self.n_layers - 1
         scan_target = _ScanBlock
@@ -270,7 +276,9 @@ class Transolver(nn.Module):
         if self.variant == "encoder":
             code, w = self.last_block.encode(fx, deterministic)
             fx, _ = self.last_block.decode_body(code, w, deterministic)
-        return self.mlp2(self.ln_3(fx))
+        out = self.mlp2(self.ln_3(fx))
+        # the head always emits float32 so losses/metrics stay full precision
+        return out.astype(jnp.float32)
 
     def encode(self, x, fx=None, deterministic: bool = True):
         """Run blocks 0..L-2 then the last block's slice+attend phase.

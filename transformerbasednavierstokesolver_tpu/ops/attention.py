@@ -47,29 +47,32 @@ def compute_slice_weights(x_mid, slice_kernel, slice_bias, temperature, clamp_te
     """softmax(x_mid @ slice_kernel / temperature) over the slice axis.
 
     x_mid: [B, H, N, D]; slice_kernel: [D, G]; temperature: [1, H, 1, 1].
-    Returns [B, H, N, G].
+    Returns [B, H, N, G] in x_mid's dtype (softmax itself runs in float32).
     """
-    logits = (
-        jnp.einsum("bhnd,dg->bhng", x_mid, slice_kernel, precision=precision)
-        + slice_bias
-    )
+    logits = jnp.einsum(
+        "bhnd,dg->bhng", x_mid, slice_kernel.astype(x_mid.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + slice_bias
     temp = temperature
     if clamp_temperature:
         temp = jnp.clip(temp, 0.1, 5.0)
-    return jax.nn.softmax(logits / temp, axis=-1)
+    return jax.nn.softmax(logits / temp, axis=-1).astype(x_mid.dtype)
 
 
 def aggregate_slice_tokens(fx_mid, slice_weights, precision=None):
     """Weighted token aggregation: [B,H,N,D] x [B,H,N,G] -> [B,H,G,D]."""
-    slice_norm = slice_weights.sum(axis=2)  # [B, H, G]
+    slice_norm = slice_weights.astype(jnp.float32).sum(axis=2)  # [B, H, G]
     slice_token = jnp.einsum(
-        "bhnd,bhng->bhgd", fx_mid, slice_weights, precision=precision
+        "bhnd,bhng->bhgd", fx_mid, slice_weights, precision=precision,
+        preferred_element_type=jnp.float32,
     )
     return slice_token / (slice_norm + 1e-5)[..., None]
 
 
 def slice_token_attention(slice_token, wq, wk, wv, scale, dropout_fn=None, precision=None):
-    """Standard scaled-dot-product MHA among the G slice tokens."""
+    """Standard scaled-dot-product MHA among the G slice tokens (float32 --
+    G x G is tiny, precision is free here)."""
+    slice_token = slice_token.astype(jnp.float32)
     q = jnp.einsum("bhgd,de->bhge", slice_token, wq, precision=precision)
     k = jnp.einsum("bhgd,de->bhge", slice_token, wk, precision=precision)
     v = jnp.einsum("bhgd,de->bhge", slice_token, wv, precision=precision)
@@ -83,8 +86,10 @@ def slice_token_attention(slice_token, wq, wk, wv, scale, dropout_fn=None, preci
 def deslice(out_slice_token, slice_weights, precision=None):
     """Broadcast tokens back to points and merge heads: -> [B, N, H*D]."""
     out_x = jnp.einsum(
-        "bhgd,bhng->bhnd", out_slice_token, slice_weights, precision=precision
-    )
+        "bhgd,bhng->bhnd",
+        out_slice_token.astype(slice_weights.dtype), slice_weights,
+        precision=precision, preferred_element_type=jnp.float32,
+    ).astype(slice_weights.dtype)
     B, H, N, D = out_x.shape
     return out_x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
@@ -137,6 +142,54 @@ def slice_attention(
     return out_x, slice_weights, out_slice_token
 
 
+
+# --- transpose-free [B, N, H, D] core (hot path) --------------------------
+#
+# The head-split transposes of the [B, H, N, D] layout are pure HBM copies
+# (33 MB each for the flagship config); keeping the point axis adjacent to
+# batch lets every einsum below run without materializing a transpose.
+
+def compute_slice_weights_bnhd(x_mid, slice_kernel, slice_bias, temperature,
+                               clamp_temperature, precision=None):
+    """x_mid: [B, N, H, D] -> weights [B, N, H, G] (softmax in float32)."""
+    logits = jnp.einsum(
+        "bnhd,dg->bnhg", x_mid, slice_kernel.astype(x_mid.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + slice_bias
+    temp = temperature.reshape(1, 1, -1, 1)
+    if clamp_temperature:
+        temp = jnp.clip(temp, 0.1, 5.0)
+    return jax.nn.softmax(logits / temp, axis=-1).astype(x_mid.dtype)
+
+
+def slice_attention_bnhd(
+    x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv,
+    *, clamp_temperature=True, dropout_fn=None, precision=None,
+):
+    """slice -> attend -> deslice without any head transpose.
+
+    x_mid/fx_mid: [B, N, H, D].  Returns (out [B, N, H*D],
+    slice_weights [B, N, H, G], out_slice_token [B, H, G, D]).
+    """
+    B, N, H, D = x_mid.shape
+    scale = D ** -0.5
+    w = compute_slice_weights_bnhd(
+        x_mid, slice_kernel, slice_bias, temperature, clamp_temperature,
+        precision,
+    )
+    norm = w.astype(jnp.float32).sum(axis=1)  # [B, H, G]
+    tok = jnp.einsum(
+        "bnhd,bnhg->bhgd", fx_mid, w, precision=precision,
+        preferred_element_type=jnp.float32,
+    ) / (norm + 1e-5)[..., None]
+    otok = slice_token_attention(tok, wq, wk, wv, scale, dropout_fn, precision)
+    out = jnp.einsum(
+        "bhgd,bnhg->bnhd", otok.astype(w.dtype), w, precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return out.reshape(B, N, H * D), w, otok
+
+
 class PhysicsAttention(nn.Module):
     """Unified physics-attention module for all mesh geometries.
 
@@ -159,6 +212,7 @@ class PhysicsAttention(nn.Module):
     autoencoder: bool = False
     impl: str = "xla"
     precision: Optional[str] = None
+    dtype: Optional[str] = None  # compute dtype; params stay float32
 
     def setup(self):
         if self.geometry not in GEOMETRIES:
@@ -172,11 +226,11 @@ class PhysicsAttention(nn.Module):
         if self.geometry == "irregular":
             self.in_project_x = nn.Dense(
                 inner_dim, kernel_init=trunc_normal_002, bias_init=zeros,
-                name="in_project_x",
+                name="in_project_x", dtype=self.dtype,
             )
             self.in_project_fx = nn.Dense(
                 inner_dim, kernel_init=trunc_normal_002, bias_init=zeros,
-                name="in_project_fx",
+                name="in_project_fx", dtype=self.dtype,
             )
         else:
             ndim = 2 if self.geometry == "grid2d" else 3
@@ -194,6 +248,7 @@ class PhysicsAttention(nn.Module):
                 kernel_init=torch_conv_kernel_init,
                 bias_init=make_torch_conv_bias_init(fan_in),
                 name=name,
+                dtype=self.dtype,
             )
             self.in_project_x = conv("in_project_x")
             self.in_project_fx = conv("in_project_fx")
@@ -212,7 +267,8 @@ class PhysicsAttention(nn.Module):
         self.wk = self.param("to_k_kernel", qkv_init, (self.dim_head, self.dim_head))
         self.wv = self.param("to_v_kernel", qkv_init, (self.dim_head, self.dim_head))
         self.to_out = nn.Dense(
-            self.dim, kernel_init=trunc_normal_002, bias_init=zeros, name="to_out"
+            self.dim, kernel_init=trunc_normal_002, bias_init=zeros,
+            name="to_out", dtype=self.dtype,
         )
         if self.autoencoder:
             self.project_slice = nn.Dense(
@@ -223,7 +279,8 @@ class PhysicsAttention(nn.Module):
         self.out_dropout = nn.Dropout(self.dropout)
 
     def _project_and_split(self, x):
-        """Apply the two input projections and split heads -> [B, H, N, D] x2."""
+        """Apply the two input projections and split heads -> [B, N, H, D] x2
+        (head axis kept inboard -- no transpose materializes)."""
         B, N, C = x.shape
         if self.geometry == "irregular":
             fx_mid = self.in_project_fx(x)
@@ -234,7 +291,7 @@ class PhysicsAttention(nn.Module):
             x_mid = self.in_project_x(xg).reshape(B, N, -1)
 
         def split(t):
-            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            return t.reshape(B, N, self.heads, self.dim_head)
 
         return split(x_mid), split(fx_mid)
 
@@ -244,7 +301,21 @@ class PhysicsAttention(nn.Module):
             dropout_fn = lambda a: self.attn_dropout(a, deterministic=False)
         else:
             dropout_fn = None
-        return slice_attention(
+        clamp = self.geometry != "irregular"
+        if self.impl == "pallas":
+            from . import pallas_attention
+
+            xt = x_mid.transpose(0, 2, 1, 3)
+            if dropout_fn is None and pallas_attention.supported(
+                xt, self.slice_kernel
+            ):
+                out, w, otok = pallas_attention.slice_attention_fused(
+                    xt, fx_mid.transpose(0, 2, 1, 3),
+                    self.slice_kernel, self.slice_bias, self.temperature,
+                    self.wq, self.wk, self.wv, clamp_temperature=clamp,
+                )
+                return out, w, otok
+        out, w, otok = slice_attention_bnhd(
             x_mid,
             fx_mid,
             self.slice_kernel,
@@ -253,11 +324,12 @@ class PhysicsAttention(nn.Module):
             self.wq,
             self.wk,
             self.wv,
-            clamp_temperature=(self.geometry != "irregular"),
+            clamp_temperature=clamp,
             dropout_fn=dropout_fn,
             precision=self.precision,
-            impl=self.impl,
         )
+        # API layout: slice_weights as [B, H, N, G] (encoder contract)
+        return out, w.transpose(0, 2, 1, 3), otok
 
     def __call__(self, x, deterministic: bool = True):
         out_x, _, _ = self._core(x, deterministic)

@@ -6,7 +6,7 @@ here.  Semantics: ``linear_pre (Dense + act) -> n_layers x (Dense + act [+ res])
 -> linear_post``.  All production configs use ``n_layers=0, res=False``.
 """
 
-from typing import Callable
+from typing import Any, Callable, Optional
 
 from flax import linen as nn
 
@@ -21,12 +21,14 @@ class MLP(nn.Module):
     act: str = "gelu"
     res: bool = False
     kernel_init: Callable = trunc_normal_002
+    dtype: Optional[Any] = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
         act = get_activation(self.act)
         dense = lambda feat, name: nn.Dense(
-            feat, kernel_init=self.kernel_init, bias_init=zeros, name=name
+            feat, kernel_init=self.kernel_init, bias_init=zeros, name=name,
+            dtype=self.dtype,
         )
         x = act(dense(self.n_hidden, "linear_pre")(x))
         for i in range(self.n_layers):

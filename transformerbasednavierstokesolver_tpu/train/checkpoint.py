@@ -157,12 +157,13 @@ def import_torch_state_dict(
     params["ln_3"] = _layernorm(sd, f"blocks.{n_layers - 1}.ln_3")
     params["mlp2"] = _linear(sd, f"blocks.{n_layers - 1}.mlp2")
 
-    def cast(x):
-        return jnp.asarray(np.asarray(x), dtype)
-
+    # host-side numpy (device placement is the caller's concern -- keeps the
+    # converter usable even without an accelerator attached)
     import jax
 
-    return jax.tree_util.tree_map(cast, params)
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x, dtype), params
+    )
 
 
 def export_torch_state_dict(params, geometry: str = "grid2d") -> Dict[str, np.ndarray]:

@@ -22,19 +22,36 @@ def onecycle_lr(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ):
-    """Cosine one-cycle LR: initial -> max at pct_start -> min at the end.
+    """Cosine one-cycle LR with torch's exact phase layout.
 
-    optax's piecewise interpolation produces NaN when the warmup interval
-    rounds to zero steps, so tiny smoke runs are clamped to >= 10 steps.
+    torch's OneCycleLR ends the warmup at ``pct_start * total_steps - 1`` and
+    the anneal at ``total_steps - 1`` (``_annealing_cos``); optax's
+    ``cosine_onecycle_schedule`` uses shifted boundaries, so the schedule is
+    implemented directly for training-curve parity.  Tiny smoke runs are
+    clamped to >= 10 steps (degenerate warmup intervals).
     """
     total_steps = max(total_steps, 10)
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=max_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    up_end = float(pct_start * total_steps) - 1.0
+    down_end = float(total_steps) - 1.0
+
+    def _cos(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        pct_up = jnp.clip(count / jnp.maximum(up_end, 1e-6), 0.0, 1.0)
+        pct_down = jnp.clip(
+            (count - up_end) / jnp.maximum(down_end - up_end, 1e-6), 0.0, 1.0
+        )
+        return jnp.where(
+            count <= up_end,
+            _cos(initial_lr, max_lr, pct_up),
+            _cos(max_lr, min_lr, pct_down),
+        )
+
+    return schedule
 
 
 def onecycle_momentum(
