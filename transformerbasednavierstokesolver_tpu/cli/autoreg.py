@@ -20,6 +20,8 @@ from .common import (
     count_parameters,
     epoch_batches,
     maybe_load_params,
+    maybe_resume,
+    save_state,
 )
 
 
@@ -72,11 +74,13 @@ def run_autoregressive(
         return params, evaluate, eval_batch, test_full
 
     state = create_train_state(jax.random.PRNGKey(args.seed), model, sample, tx)
+    state, start_step = maybe_resume(state, args)
+    start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
     update = make_update_fn(make_teacher_forced_loss(step, remat=remat))
 
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    for ep in range(start_epoch, args.epochs):
         train_step_l = train_full_l = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             x = jnp.asarray(pos.repeat(len(idx), 0))
@@ -99,7 +103,9 @@ def run_autoregressive(
         if ep % 100 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(checkpoint_path(args.save_name), state.params, state.step)
+    save_state(state, args)
     return state.params, evaluate, eval_batch, evaluate(state.params)[1]

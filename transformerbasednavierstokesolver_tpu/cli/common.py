@@ -67,6 +67,8 @@ def base_parser(description="Training Transolver", **overrides):
                    help="physics-attention implementation")
     p.add_argument("--precision", type=str, default=None,
                    help="jax matmul precision override (e.g. 'highest')")
+    p.add_argument("--resume", type=int, default=0,
+                   help="resume from the saved train state (params + optimizer + step)")
     return p
 
 
@@ -130,3 +132,29 @@ class Timer:
         t = time.perf_counter()
         dt, self.t0 = t - self.t0, t
         return dt
+
+
+def train_state_path(save_name: str) -> str:
+    os.makedirs("./checkpoints", exist_ok=True)
+    return os.path.join("./checkpoints", save_name + ".state")
+
+
+def maybe_resume(state, args):
+    """Restore the full TrainState if --resume and a state file exists."""
+    if not getattr(args, "resume", 0):
+        return state, 0
+    path = train_state_path(args.save_name)
+    if not os.path.exists(path):
+        print(f"--resume set but no state at {path}; starting fresh")
+        return state, 0
+    from ..train.checkpoint import restore_train_state
+
+    state = restore_train_state(path, state)
+    print(f"resumed from {path} at step {int(state.step)}")
+    return state, int(state.step)
+
+
+def save_state(state, args):
+    from ..train.checkpoint import save_train_state
+
+    save_train_state(train_state_path(args.save_name), state)

@@ -22,6 +22,8 @@ from .common import (
     count_parameters,
     epoch_batches,
     maybe_load_params,
+    maybe_resume,
+    save_state,
 )
 
 
@@ -81,11 +83,13 @@ def run_steady(
     state = create_train_state(
         jax.random.PRNGKey(args.seed), model, sample + (None,), tx
     )
+    state, start_step = maybe_resume(state, args)
+    start_epoch = start_step // max(steps_per_epoch, 1)
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    for ep in range(start_epoch, args.epochs):
         train_loss = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             x = jnp.asarray(x_train[idx])
@@ -98,7 +102,9 @@ def run_steady(
         if ep % 100 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(checkpoint_path(args.save_name), state.params, state.step)
+    save_state(state, args)
     return evaluate(state.params)

@@ -72,3 +72,49 @@ def unified_pos_pointcloud(x, ref):
     anchors = jnp.asarray(_anchor_lattice(ref, 2))  # [ref^2, 2]
     d2 = ((x[:, :, None, :] - anchors[None, None, :, :]) ** 2).sum(-1)
     return jnp.sqrt(d2)
+
+
+# ---------------------------------------------------------------------------
+# Shipped-but-unused reference helpers, kept for API completeness
+# (``model/Embedding.py:7-64`` -- no reference model instantiates these).
+# ---------------------------------------------------------------------------
+
+
+def rotary_frequencies(coordinates, dim, min_freq=1.0 / 2, scale=1.0):
+    """RotaryEmbedding.forward (``model/Embedding.py:7-20``): [B, N] coords ->
+    [B, N, dim] duplicated frequency bands."""
+    inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    t = coordinates * (scale / min_freq)
+    freqs = t[..., None] * inv_freq  # [B, N, dim//2]
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def rotate_half(x):
+    d = x.shape[-1] // 2
+    x1, x2 = x[..., :d], x[..., d:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary_pos_emb(t, freqs):
+    return t * jnp.cos(freqs) + rotate_half(t) * jnp.sin(freqs)
+
+
+def apply_2d_rotary_pos_emb(t, freqs_x, freqs_y):
+    d = t.shape[-1]
+    t_x, t_y = t[..., : d // 2], t[..., d // 2 :]
+    return jnp.concatenate(
+        [apply_rotary_pos_emb(t_x, freqs_x), apply_rotary_pos_emb(t_y, freqs_y)],
+        axis=-1,
+    )
+
+
+def positional_encoding_table(max_len, d_model):
+    """Sinusoidal PE table (``model/Embedding.py:44-64``): [1, max_len, d]."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe[None])

@@ -35,7 +35,34 @@ def restore_params(path: str, params_template):
     with open(path, "rb") as f:
         data = f.read()
     payload = serialization.from_bytes({"params": params_template}, data)
+    _check_shapes(params_template, payload["params"], path)
     return payload["params"]
+
+
+def _check_shapes(template, restored, path):
+    tf = traverse_util.flatten_dict(serialization.to_state_dict(template))
+    rf = traverse_util.flatten_dict(serialization.to_state_dict(restored))
+    for k, v in tf.items():
+        if hasattr(v, "shape") and rf[k].shape != v.shape:
+            raise ValueError(
+                f"checkpoint {path!r} param {'/'.join(k)} has shape "
+                f"{rf[k].shape}, model expects {v.shape} -- the checkpoint "
+                f"was trained with a different architecture"
+            )
+
+
+def save_train_state(path: str, state):
+    """Save params + optimizer state + step (the reference never persists
+    optimizer state -- resume restarts its schedule; this is the improvement
+    SURVEY.md section 5 calls for)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def restore_train_state(path: str, state_template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())
 
 
 def _load_pt(path: str) -> Dict[str, np.ndarray]:
