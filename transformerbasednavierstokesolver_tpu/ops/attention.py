@@ -303,14 +303,13 @@ class PhysicsAttention(nn.Module):
             dropout_fn = None
         clamp = self.geometry != "irregular"
         if self.impl == "pallas":
-            from . import pallas_attention
+            from . import pallas_attention_v2
 
-            xt = x_mid.transpose(0, 2, 1, 3)
-            if dropout_fn is None and pallas_attention.supported(
-                xt, self.slice_kernel
+            if dropout_fn is None and pallas_attention_v2.supported(
+                x_mid, self.slice_kernel
             ):
-                out, w, otok = pallas_attention.slice_attention_fused(
-                    xt, fx_mid.transpose(0, 2, 1, 3),
+                out, w, otok = pallas_attention_v2.fused(
+                    x_mid, fx_mid,
                     self.slice_kernel, self.slice_bias, self.temperature,
                     self.wq, self.wk, self.wv, clamp_temperature=clamp,
                 )
