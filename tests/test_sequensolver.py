@@ -175,3 +175,21 @@ def test_learn_slice_heads():
     assert b.shape == (1, 1, H * W, M)
     assert c.shape == (1, 1, H * W, M)
     np.testing.assert_allclose(np.asarray(c.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_teacher_forced_fast_path_matches_loop(merged_setup):
+    model, params, x, fx = merged_setup
+    yy = jax.random.normal(jax.random.PRNGKey(9), (2, H * W, 3))
+    fast = model.apply(
+        {"params": params}, x, fx, yy,
+        method=SequenSolverMerged.teacher_forced_outputs,
+    )
+    f = fx
+    outs = []
+    for t in range(3):
+        outs.append(model.apply({"params": params}, x, f))
+        f = jnp.concatenate([f[..., 1:], yy[..., t : t + 1]], -1)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(jnp.concatenate(outs, -1)),
+        rtol=1e-5, atol=1e-6,
+    )

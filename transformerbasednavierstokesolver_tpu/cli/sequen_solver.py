@@ -128,6 +128,26 @@ def main(argv=None):
         return params
 
     def make_loss(use_gt):
+        if args.variant == "merged":
+            # fast path: every teacher-forced frame encoded exactly once
+            def loss_fn(params, apply_fn, x, fx, yy):
+                b = x.shape[0]
+                pred = apply_fn(
+                    {"params": params}, x, fx, yy,
+                    method=SequenSolverMerged.teacher_forced_outputs,
+                )
+                loss = sum(
+                    rel_lp(pred[..., t : t + 1].reshape(b, -1),
+                           yy[..., t : t + 1].reshape(b, -1), reduction="sum")
+                    for t in range(T_OUT)
+                )
+                full = rel_lp(
+                    pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum"
+                )
+                return loss, {"full": full}
+
+            return loss_fn
+
         def loss_fn(params, apply_fn, x, fx, yy):
             b = x.shape[0]
             loss = 0.0

@@ -229,6 +229,31 @@ class SequenSolverMerged(nn.Module):
         slice_weights = self.forward_slice(x, fx, code)
         return self.decode(code, slice_weights)
 
+    def teacher_forced_outputs(self, x, fx, yy):
+        """All T_out teacher-forced predictions with each frame encoded ONCE.
+
+        The step-by-step loop re-encodes every history frame ~T times (the
+        reference encodes 10 frames per forward x 10 rollout steps = 100
+        frozen-encoder passes per sample); since teacher forcing slides over
+        ground-truth frames only, all T_in + T_out encodings are computed in
+        one batched call and the temporal transformer runs on sliding token
+        windows.  Mathematically identical to looping ``__call__`` with gt
+        re-insertion; ~T_in x less encoder compute.
+
+        Returns [B, N, T_out].
+        """
+        T_out = yy.shape[-1]
+        frames = jnp.concatenate([fx, yy], axis=-1)
+        tokens_all = self.encode_frames(x, frames)  # [B, 1, T_in+T_out, dim]
+        outs = []
+        for t in range(T_out):
+            window = jax.lax.dynamic_slice_in_dim(tokens_all, t, self.T, axis=2)
+            code = self.predict_code(window)
+            hist = jax.lax.dynamic_slice_in_dim(frames, t, self.T, axis=-1)
+            w = self.forward_slice(x, hist, code)
+            outs.append(self.decode(code, w))
+        return jnp.concatenate(outs, axis=-1)
+
 
 class SequenSolver(nn.Module):
     """Original variant: unmasked single-head temporal attention, gt or
