@@ -23,13 +23,16 @@ STEP = 1
 
 
 def build_argparser():
-    return base_parser(
+    p = base_parser(
         "Training Transolver (NS)",
         model="Transolver_2D",
         save_name="ns_2d_UniPDE",
         epochs=30,
         downsample=1,
     )
+    p.add_argument("--resolution", type=int, default=64,
+                   help=">64 uses the spectral generator (BASELINE 256^2 config)")
+    return p
 
 
 def build_model(args, h):
@@ -61,7 +64,7 @@ def main(argv=None):
 
     train_a, train_u, test_a, test_u, h = load_ns_vorticity(
         args.data_path, 50, 50, T_IN, T_OUT, args.downsample,
-        synth_sims=args.synth_n,
+        synth_sims=args.synth_n, resolution=args.resolution,
     )
     pos = meshgrid_pos(h)
     print("Dataloading is over.")

@@ -108,10 +108,15 @@ def load_darcy(data_path, ntrain=1000, ntest=200, r=5, synth_n=None):
 # --------------------------------------------------------------------------
 
 def load_ns_vorticity(
-    data_path, ntrain=50, ntest=50, T_in=10, T=10, r=1, synth_sims=None
+    data_path, ntrain=50, ntest=50, T_in=10, T=10, r=1, synth_sims=None,
+    resolution=64,
 ):
-    """Returns (train_a [nt, h*h, T_in], train_u [nt, h*h, T], test_a, test_u, h)."""
-    h = int(((64 - 1) / r) + 1)
+    """Returns (train_a [nt, h*h, T_in], train_u [nt, h*h, T], test_a, test_u, h).
+
+    ``resolution`` > 64 only applies to synthetic generation (the FNO file is
+    64^2) -- the BASELINE 256x256 rollout config runs on generated data.
+    """
+    h = int(((resolution - 1) / r) + 1)
     path = data_path
     if os.path.isdir(data_path):
         path = os.path.join(data_path, "NavierStokes_V1e-5_N1200_T20.mat")
@@ -128,12 +133,12 @@ def load_ns_vorticity(
         def build():
             return dict(
                 u=generate_vorticity_dataset(
-                    jax.random.PRNGKey(42), sims, T_in + T, n=64, nu=1e-5,
-                    dt=2e-3, frame_dt=1.0, warmup_frames=2,
+                    jax.random.PRNGKey(42), sims, T_in + T, n=resolution,
+                    nu=1e-5, dt=2e-3, frame_dt=1.0, warmup_frames=2,
                 )
             )
 
-        u = _cache(f"ns_v1e-5_s{sims}_t{T_in + T}", build)["u"]
+        u = _cache(f"ns_v1e-5_s{sims}_t{T_in + T}_r{resolution}", build)["u"]
         ntrain = min(ntrain, sims // 2)
         ntest = min(ntest, sims - ntrain)
 
