@@ -36,6 +36,33 @@ from ..utils.losses import rel_lp
 from .common import base_parser, checkpoint_path, count_parameters, epoch_batches
 
 
+def advance_curriculum(variant, ep, look_ahead, thresh, max_look_ahead):
+    """Reference-exact look-ahead schedules; returns (look_ahead, thresh).
+
+    * velocity: +1 every 40 epochs from ep 40 while <= cap
+      (``ns_velocity_unrolling.py:210-214``; the reference's post-increment
+      cap check lets look_ahead reach cap, reproduced here);
+    * vorticity: x2 whenever ``ep % thresh == 0 and ep >= thresh`` (float
+      modulo, ``ns_vorticity_unrolling.py:216-223``), clamped at the cap,
+      threshold halving each time;
+    * with_t: +1 every 10 epochs from ep 10 while <= cap
+      (``ns_unrolling2_with_t.py:208-212``).
+    """
+    if variant == "velocity":
+        if ep % 40 == 0 and ep >= 40 and look_ahead <= max_look_ahead:
+            look_ahead = min(look_ahead + 1, max_look_ahead)
+    elif variant == "vorticity":
+        if thresh > 0 and ep % thresh == 0 and ep >= thresh and look_ahead <= max_look_ahead:
+            look_ahead = min(look_ahead * 2, max_look_ahead)
+            thresh = thresh / 2
+    elif variant == "with_t":
+        if ep % 10 == 0 and ep >= 10 and look_ahead <= max_look_ahead:
+            look_ahead = min(look_ahead + 1, max_look_ahead)
+    else:
+        raise ValueError(variant)
+    return look_ahead, thresh
+
+
 def _sol_model(args, h, fun_dim, out_dim, step, look_ahead):
     return SOLTransolver(
         look_ahead=look_ahead,
@@ -197,20 +224,12 @@ def _run(args, variant, data_tuple, h, fun_dim, out_dim, step, T,
     thresh = args.epochs / 2  # vorticity curriculum threshold
     data_rng = np.random.default_rng(args.seed)
     for ep in range(args.epochs):
-        # curriculum schedules (reference-exact conditions)
-        if variant == "velocity":
-            if ep % 40 == 0 and ep >= 40 and look_ahead < max_look_ahead:
-                look_ahead += 1
-                print(f"look ahead increased {look_ahead}")
-        elif variant == "vorticity":
-            if thresh >= 1 and ep % max(int(thresh), 1) == 0 and ep >= thresh and look_ahead <= max_look_ahead:
-                look_ahead = min(look_ahead * 2, max_look_ahead)
-                thresh /= 2
-                print(f"look ahead increased {look_ahead}")
-        elif variant == "with_t":
-            if ep % 10 == 0 and ep >= 10 and look_ahead < max_look_ahead:
-                look_ahead += 1
-                print(f"look ahead increased {look_ahead}")
+        new_la, thresh = advance_curriculum(
+            variant, ep, look_ahead, thresh, max_look_ahead
+        )
+        if new_la != look_ahead:
+            look_ahead = new_la
+            print(f"look ahead increased {look_ahead}")
 
         update = get_update(look_ahead)
         train_l = 0.0
