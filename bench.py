@@ -4,6 +4,10 @@
 Measures samples/sec/chip of the full jitted train step (10-step BPTT scan,
 hidden 256, 8 heads, slice 32, unified_pos, 64x64 grid -- the
 scripts/Transolver_NS.sh flagship config) on the available accelerator.
+Default config is the fastest verified-correct one: bf16 compute (f32
+params/softmax/head), unrolled layer scan, per-step remat, merged
+projection convs, XLA attention core.  Knobs: BENCH_DTYPE=f32,
+BENCH_IMPL=pallas, BENCH_REMAT=0, BENCH_UNROLL, BENCH_BATCH, BENCH_STEPS.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no speed numbers (BASELINE.md); vs_baseline compares
@@ -40,7 +44,7 @@ def main():
         H=h, W=h,
         impl=os.environ.get("BENCH_IMPL", "xla"),
         use_checkpoint=os.environ.get("BENCH_REMAT_BLOCKS", "0") == "1",
-        dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16"
+        dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
                else None),
     )
     rng = np.random.default_rng(0)
@@ -53,7 +57,12 @@ def main():
         jax.random.PRNGKey(0), model, (x[:1], fx[:1]), tx
     )
     update = make_update_fn(
-        make_teacher_forced_loss(step=1, remat=True), donate=True
+        make_teacher_forced_loss(
+            step=1,
+            remat=os.environ.get("BENCH_REMAT", "1") == "1",
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        ),
+        donate=True,
     )
 
     # warmup/compile (float() forces a device->host sync; block_until_ready

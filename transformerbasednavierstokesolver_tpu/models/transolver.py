@@ -152,6 +152,9 @@ class Transolver(nn.Module):
     impl: str = "xla"
     precision: Optional[str] = None
     dtype: Optional[str] = None  # compute dtype, e.g. jnp.bfloat16 for speed
+    scan_unroll: int = 8  # lax.scan unroll for the layer stack (keeps the
+    # stacked param layout but removes per-layer dynamic-update-slice
+    # residual stacking from the backward pass)
 
     @property
     def grid_shape(self):
@@ -225,6 +228,7 @@ class Transolver(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=n_scan,
                 in_axes=(nn.broadcast,),
+                unroll=min(self.scan_unroll, n_scan),
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )(block_kwargs=block_kwargs, name="blocks")
         else:

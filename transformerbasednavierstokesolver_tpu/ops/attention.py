@@ -280,15 +280,41 @@ class PhysicsAttention(nn.Module):
 
     def _project_and_split(self, x):
         """Apply the two input projections and split heads -> [B, N, H, D] x2
-        (head axis kept inboard -- no transpose materializes)."""
+        (head axis kept inboard -- no transpose materializes).
+
+        Both projections consume the SAME pre-LN input, so the structured-grid
+        convs run as ONE conv with concatenated kernels (identical math,
+        halves the conv-kernel count on the hot path).
+        """
         B, N, C = x.shape
         if self.geometry == "irregular":
             fx_mid = self.in_project_fx(x)
             x_mid = self.in_project_x(x)
-        else:
+        elif self.is_initializing():
+            # params are created lazily; initialize through the plain calls
             xg = x.reshape((B,) + tuple(self.grid_shape) + (C,))
             fx_mid = self.in_project_fx(xg).reshape(B, N, -1)
             x_mid = self.in_project_x(xg).reshape(B, N, -1)
+        else:
+            xg = x.reshape((B,) + tuple(self.grid_shape) + (C,))
+            vx = self.in_project_x.variables["params"]
+            vf = self.in_project_fx.variables["params"]
+            kernel = jnp.concatenate([vx["kernel"], vf["kernel"]], axis=-1)
+            bias = jnp.concatenate([vx["bias"], vf["bias"]], axis=-1)
+            dtype = self.dtype or xg.dtype
+            ndim = kernel.ndim - 2
+            both = jax.lax.conv_general_dilated(
+                xg.astype(dtype), kernel.astype(dtype),
+                window_strides=(1,) * ndim,
+                padding="SAME",
+                dimension_numbers=(
+                    ("NHWC", "HWIO", "NHWC") if ndim == 2
+                    else ("NDHWC", "DHWIO", "NDHWC")
+                ),
+            ) + bias.astype(dtype)
+            both = both.reshape(B, N, -1)
+            inner = self.heads * self.dim_head
+            x_mid, fx_mid = both[..., :inner], both[..., inner:]
 
         def split(t):
             return t.reshape(B, N, self.heads, self.dim_head)

@@ -66,7 +66,8 @@ def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
     return _stack_preds(preds)
 
 
-def make_teacher_forced_loss(step: int = 1, remat: bool = False):
+def make_teacher_forced_loss(step: int = 1, remat: bool = False,
+                             unroll: int = 1):
     """Loss for ``make_update_fn``: full teacher-forced scan under one grad.
 
     ``remat=True`` rematerializes each rollout step's forward in the backward
@@ -95,7 +96,9 @@ def make_teacher_forced_loss(step: int = 1, remat: bool = False):
             fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
             return (fx_, loss), im
 
-        (_, loss), preds = lax.scan(body, (fx, 0.0), jnp.arange(n_steps) * step)
+        (_, loss), preds = lax.scan(
+            body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
+        )
         full = rel_lp(
             _stack_preds(preds).reshape(bsz, -1),
             yy.reshape(bsz, -1),
