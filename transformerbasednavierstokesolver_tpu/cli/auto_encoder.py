@@ -19,7 +19,7 @@ from ..train.checkpoint import save_params
 from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
-from .common import base_parser, count_parameters, epoch_batches
+from .common import base_parser, count_parameters, epoch_batches, model_dtype
 
 
 def build_argparser():
@@ -83,6 +83,7 @@ def main(argv=None):
         W=h,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
     bsz = args.batch_size
     steps_per_epoch = (ntrain_f + bsz - 1) // bsz

@@ -69,7 +69,15 @@ def base_parser(description="Training Transolver", **overrides):
                    help="jax matmul precision override (e.g. 'highest')")
     p.add_argument("--resume", type=int, default=0,
                    help="resume from the saved train state (params + optimizer + step)")
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="compute dtype (params stay f32); bf16 for throughput")
     return p
+
+
+def model_dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "dtype", "f32") == "bf16" else None
 
 
 def count_parameters(params):

@@ -19,6 +19,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    model_dtype,
     base_parser,
     checkpoint_path,
     count_parameters,
@@ -89,6 +90,7 @@ def main(argv=None):
         use_checkpoint=bool(args.use_checkpoint),
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
     bsz = args.batch_size
     steps_per_epoch = (ntrain + bsz - 1) // bsz

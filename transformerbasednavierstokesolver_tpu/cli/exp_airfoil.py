@@ -6,7 +6,7 @@ Deformed 221x51 C-mesh around NACA airfoils; raw fields, no normalizers
 
 from ..data.datasets import load_airfoil
 from ..models import get_model
-from .common import base_parser
+from .common import base_parser, model_dtype
 from .steady import run_steady
 
 
@@ -49,6 +49,7 @@ def main(argv=None):
         W=s2,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
     return run_steady(
         args, model, x_train, y_train, x_test, y_test, geometry="grid2d"

@@ -19,6 +19,7 @@ from ..train.loop import TrainState, create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import central_diff, rel_lp
 from .common import (
+    model_dtype,
     base_parser,
     checkpoint_path,
     count_parameters,
@@ -98,6 +99,7 @@ def main(argv=None):
         W=s,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
 
     bsz = args.batch_size

@@ -12,7 +12,7 @@ import jax
 
 from ..data.datasets import load_elasticity
 from ..models import get_model
-from .common import base_parser, save_figures
+from .common import base_parser, save_figures, model_dtype
 from .steady import run_steady
 
 
@@ -51,6 +51,7 @@ def main(argv=None):
         unified_pos=bool(args.unified_pos),
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
 
     def eval_figures(params, predict):

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..data.datasets import load_ns_vorticity, meshgrid_pos
 from ..models import get_model
 from .autoreg import run_autoregressive
-from .common import base_parser, save_figures
+from .common import base_parser, save_figures, model_dtype
 
 T_IN = 10
 T_OUT = 10
@@ -53,6 +53,7 @@ def build_model(args, h):
         W=h,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
 
 

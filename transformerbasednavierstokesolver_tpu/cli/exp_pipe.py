@@ -8,7 +8,7 @@ import numpy as np
 
 from ..data.datasets import load_pipe
 from ..models import get_model
-from .common import base_parser
+from .common import base_parser, model_dtype
 from .steady import run_steady
 
 
@@ -58,6 +58,7 @@ def main(argv=None):
         W=s2,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
     return run_steady(
         args, model, x_train, y_train, x_test, y_test,

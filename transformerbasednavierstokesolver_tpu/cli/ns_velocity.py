@@ -13,7 +13,7 @@ import os
 from ..data.datasets import load_ns_velocity_npy, meshgrid_pos
 from ..models import get_model
 from .autoreg import run_autoregressive
-from .common import base_parser
+from .common import base_parser, model_dtype
 
 T_IN = 10  # channels (= 5 frames of velx/vely)
 T_OUT = 10
@@ -79,6 +79,7 @@ def main(argv=None):
         W=h,
         impl=args.impl,
         precision=args.precision,
+        dtype=model_dtype(args),
     )
     _, _, _, final = run_autoregressive(
         args, model, pos, train_a, train_u, test_a, test_u, T_OUT, STEP
