@@ -18,6 +18,7 @@ from ..utils.losses import rel_lp
 from .common import (
     checkpoint_path,
     count_parameters,
+    dp_put,
     epoch_batches,
     maybe_load_params,
     maybe_resume,
@@ -38,6 +39,7 @@ def run_autoregressive(
         args.lr, args.epochs * steps_per_epoch, args.weight_decay,
         args.max_grad_norm,
     )
+    put = dp_put()
     sample = (jnp.zeros((1, n, pos.shape[-1])), jnp.zeros((1, n, t_in)))
 
     @jax.jit
@@ -83,9 +85,9 @@ def run_autoregressive(
     for ep in range(start_epoch, args.epochs):
         train_step_l = train_full_l = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
+            x = put(pos.repeat(len(idx), 0))
             state, (loss, aux) = update(
-                state, x, jnp.asarray(train_a[idx]), jnp.asarray(train_u[idx])
+                state, x, put(train_a[idx]), put(train_u[idx])
             )
             train_step_l += float(aux["step_loss"])
             train_full_l += float(aux["full_loss"])

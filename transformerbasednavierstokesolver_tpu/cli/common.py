@@ -166,3 +166,37 @@ def save_state(state, args):
     from ..train.checkpoint import save_train_state
 
     save_train_state(train_state_path(args.save_name), state)
+
+
+def dp_put():
+    """Data-parallel placement for batch arrays when several devices exist.
+
+    Returns a function mapping host arrays to device arrays with the batch
+    axis sharded over a ('data',)-major mesh (XLA inserts the gradient psums
+    -- the TPU-native replacement for the reference's absent DDP).  Falls
+    back to plain device placement on one device or non-divisible batches.
+    """
+    import jax
+
+    if jax.device_count() <= 1:
+        import jax.numpy as jnp
+
+        return jnp.asarray
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+
+    def put(a):
+        import jax.numpy as jnp
+
+        a = jnp.asarray(a)
+        if a.ndim == 0 or a.shape[0] % n != 0:
+            return a
+        spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return put

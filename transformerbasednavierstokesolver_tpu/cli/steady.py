@@ -20,6 +20,7 @@ from ..utils.losses import rel_lp
 from .common import (
     checkpoint_path,
     count_parameters,
+    dp_put,
     epoch_batches,
     maybe_load_params,
     maybe_resume,
@@ -88,12 +89,13 @@ def run_steady(
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
+    put = dp_put()
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
         train_loss = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = jnp.asarray(x_train[idx])
-            y = jnp.asarray(y_train[idx])
+            x = put(x_train[idx])
+            y = put(y_train[idx])
             state, (loss, _) = update(state, x, y)
             train_loss += float(loss)
         print("Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain))

@@ -220,6 +220,12 @@ class SequenSolverMerged(nn.Module):
         decoded = decoded.transpose(0, 2, 1, 3).reshape(B, N, H * C)
         return self.mlp2(self.ln_3(decoded))
 
+    def solve_with_slice_learner(self, x, fx, slice_weights):
+        """Decode the predicted code with externally predicted slice weights
+        (see SequenSolver.solve_with_slice_learner)."""
+        code = self.predict_code(self.encode_frames(x, fx))
+        return self.decode(code, slice_weights)
+
     def __call__(self, x, fx, y=None, use_gt: bool = False):
         """x: [B, N, ref^2] unified pos; fx: [B, N, T] history; y unused by the
         merged forward (the reference's use_gt slice assignment is immediately
@@ -326,6 +332,19 @@ class SequenSolver(nn.Module):
 
     def get_code(self, x, fx):
         return self.predict_code(self.encode_frames(x, fx))
+
+    def solve_with_slice_learner(self, x, fx, slice_weights):
+        """Decode the predicted code with EXTERNALLY predicted slice weights.
+
+        Functional form of ``SequenSolver.solve_with_slice_learner``
+        (``SequenSolver.py:182-291``): the caller runs a trained
+        :class:`~..models.slice_learners.LearnSlice`/``SliceLearner`` head to
+        produce ``slice_weights [B, 1, N, M]`` and passes them in (the
+        reference loads the learner checkpoint inside the method and mutates
+        ``self.slice_weights``).
+        """
+        code = self.predict_code(self.encode_frames(x, fx))
+        return self.decode(code, slice_weights)
 
     def get_last_slice_weight(self, x, fx):
         _, w = self.encoder.encode(x, fx[:, :, -1:])
