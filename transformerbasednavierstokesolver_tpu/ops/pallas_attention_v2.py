@@ -18,8 +18,11 @@ ALL heads into the lane dimension and never transposes:
   merged-head ``[N, H*D]`` output.
 
 Slice weights never touch HBM (recomputed for the deslice), and no
-transposes materialize anywhere.  Backward = VJP of the XLA composition
-(see ``pallas_attention.py`` rationale).
+transposes materialize anywhere -- in EITHER direction: the backward pass
+is hand-derived into two more packed kernels (dAexp accumulation, then a
+main kernel recomputing W per block and emitting dX/dF while accumulating
+dK/db/dtemperature), with only the tiny G x G attention differentiated by
+XLA.  Gradient parity vs the XLA composition is tested.
 """
 
 import functools
@@ -200,24 +203,300 @@ def slice_attention_fused_v2(
     return out[:, :N], None, otok
 
 
-# --- differentiable wrapper ------------------------------------------------
+# --- hand-written backward kernels -----------------------------------------
+#
+# Derivation (packed layout; per batch; C = H*D lanes, HG = H*G):
+#   L = X Kexp + bexp;  Z = L * invt;  W = per-head softmax(Z) (rows >= N
+#   masked to 0);  S = sum_n W;  Traw = W^T F (diag blocks);  T = Traw/(S+e);
+#   A = attention(T);  out = W Aexp.
+# Given cotangents dOut [N, C] and dA (on the attention tokens):
+#   deslice:      dW1 = dOut Aexp^T;          dAexp += W^T dOut  (pass 1)
+#   attention:    XLA vjp (tiny G x G math) -> dT, dwq/k/v
+#   norm divide:  dTraw = dT/(S+e);  dS = -sum_d T*dT/(S+e)
+#   aggregation:  dF = W dTrawexp;  dW2 = F dTrawexp^T;  dW3 = dS (broadcast)
+#   softmax:      dZ = W * (dW - seghead-sum(W*dW))
+#   logits:       dL = dZ*invt; dX = dL Kexp^T; dKexp += X^T dL; db += sum dL
+#   temperature:  dinvt = sum_n dZ*L -> dtau_h = -invt_h^2 * sum_g dinvt
+# Pass 1 accumulates dAexp; pass 2 recomputes W/L per block and emits
+# dX, dF while accumulating dKexp, db, dinvt.  The [N, HG] weights are
+# never materialized in HBM in either direction.
 
 
-def _xla_reference_bnhd(x_mid, fx_mid, slice_kernel, slice_bias, temperature,
-                        wq, wk, wv, clamp_temperature):
-    from .attention import slice_attention_bnhd
-
-    out, _, otok = slice_attention_bnhd(
-        x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv,
-        clamp_temperature=clamp_temperature,
+def _bwd_acc_kernel(n_ref, x_ref, dout_ref, kexp_ref, b_ref, invt_ref,
+                    seg_ref, daexp_ref, *, block_n):
+    nb = pl.program_id(1)
+    w = _packed_w(
+        x_ref[0], kexp_ref, b_ref, invt_ref, seg_ref, nb * block_n, n_ref[0]
     )
-    return out, otok
+
+    @pl.when(nb == 0)
+    def _():
+        daexp_ref[:] = jnp.zeros_like(daexp_ref)
+
+    daexp_ref[0] += jax.lax.dot_general(
+        w, dout_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_main_kernel(n_ref, x_ref, f_ref, dout_ref, kexp_ref, b_ref,
+                     invt_ref, seg_ref, aexp_ref, dtrawexp_ref, ds_ref,
+                     dx_ref, df_ref, dkexp_ref, db_ref, dinvt_ref,
+                     *, block_n):
+    nb = pl.program_id(1)
+    x_blk = x_ref[0].astype(jnp.float32)
+    f_blk = f_ref[0].astype(jnp.float32)
+    dout = dout_ref[0].astype(jnp.float32)
+    # recompute logits, z, w with masking
+    logits = jnp.dot(x_blk, kexp_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
+    z = logits * invt_ref[0]
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    e = jnp.exp(z)
+    seg = seg_ref[:]
+    sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)
+    denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
+    w = e / denom
+    rows = nb * block_n + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    w = jnp.where(rows < n_ref[0], w, 0.0)
+
+    # dW from deslice, aggregation and norm paths
+    dw = (
+        jax.lax.dot_general(dout, aexp_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(f_blk, dtrawexp_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        + ds_ref[0]
+    )
+    # per-head softmax backward: dZ = W * (dW - seghead<W, dW>)
+    wdw = w * dw
+    inner = jnp.dot(jnp.dot(wdw, seg, preferred_element_type=jnp.float32),
+                    seg.T, preferred_element_type=jnp.float32)
+    dz = w * (dw - inner)
+    dl = dz * invt_ref[0]
+
+    dx_ref[0] = jax.lax.dot_general(
+        dl, kexp_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+    df_ref[0] = jax.lax.dot_general(
+        w, dtrawexp_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(df_ref.dtype)
+
+    @pl.when(nb == 0)
+    def _():
+        dkexp_ref[:] = jnp.zeros_like(dkexp_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dinvt_ref[:] = jnp.zeros_like(dinvt_ref)
+
+    dkexp_ref[0] += jax.lax.dot_general(
+        x_blk, dl, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[0] += jnp.sum(dl, axis=0, keepdims=True)
+    dinvt_ref[0] += jnp.sum(dz * logits, axis=0, keepdims=True)
+
+
+def _fused_v2_backward(res, cts, clamp_temperature, block_n=DEFAULT_BLOCK_N,
+                       interpret=False):
+    (x_mid, fx_mid, slice_kernel, slice_bias, temperature,
+     wq, wk, wv, tok, norm) = res
+    g_out, g_otok = cts
+    B, N, H, D = x_mid.shape
+    G = slice_kernel.shape[-1]
+    C, HG = H * D, H * G
+    if not interpret:
+        interpret = jax.default_backend() == "cpu"
+    block_n_eff = min(block_n, _round_up(N, 128))
+    n_pad = _round_up(N, block_n_eff)
+    x = x_mid.reshape(B, N, C)
+    f = fx_mid.reshape(B, N, C)
+    dout = g_out.reshape(B, N, C)
+    if n_pad != N:
+        pad = ((0, 0), (0, n_pad - N), (0, 0))
+        x = jnp.pad(x, pad); f = jnp.pad(f, pad); dout = jnp.pad(dout, pad)
+    kexp, bexp, invt, seg = _prep(
+        slice_kernel, slice_bias, temperature, H, G, clamp_temperature
+    )
+    n_arr = jnp.full((1,), N, jnp.int32)
+    grid = (B, n_pad // block_n_eff)
+
+    full_spec = [
+        pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((C, HG), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+        pl.BlockSpec((HG, H), lambda i, j, *_: (0, 0)),
+    ]
+
+    # pass 1: dAexp accumulation
+    daexp = pl.pallas_call(
+        functools.partial(_bwd_acc_kernel, block_n=block_n_eff),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=full_spec,
+            out_specs=pl.BlockSpec((1, HG, C), lambda i, j, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, HG, C), jnp.float32),
+        interpret=interpret,
+    )(n_arr, x, dout, kexp, bexp, invt, seg)
+    dA_deslice = jnp.einsum(
+        "bhghd->bhgd", daexp.reshape(B, H, G, H, D)
+    )
+
+    # attention backward (tiny): differentiate tokens+qkv
+    from .attention import slice_token_attention
+
+    def attn_fn(tok_, wq_, wk_, wv_):
+        return slice_token_attention(tok_, wq_, wk_, wv_, D**-0.5)
+
+    _, attn_vjp = jax.vjp(attn_fn, tok, wq, wk, wv)
+    dtok, dwq, dwk, dwv = attn_vjp(dA_deslice + g_otok)
+
+    # norm-divide backward
+    denom = (norm + 1e-5)[..., None]
+    dtraw = dtok / denom  # [B, H, G, D]
+    ds = -jnp.sum(dtok * tok, axis=-1) / (norm + 1e-5)  # [B, H, G]
+
+    dtrawexp = _blockdiag_tokens(dtraw)  # [B, HG, C]
+    aexp = _blockdiag_tokens(
+        attn_fn(tok, wq, wk, wv).astype(jnp.float32)
+    )
+    dsexp = ds.reshape(B, 1, HG)
+
+    dx_p, df_p, dkexp, db_exp, dinvt = pl.pallas_call(
+        functools.partial(_bwd_main_kernel, block_n=block_n_eff),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((C, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((HG, H), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG, C), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, HG, C), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, HG), lambda i, j, *_: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, block_n_eff, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, C, HG), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, HG), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, HG), lambda i, j, *_: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, C), x_mid.dtype),
+            jax.ShapeDtypeStruct((B, n_pad, C), fx_mid.dtype),
+            jax.ShapeDtypeStruct((B, C, HG), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_arr, x, f, dout, kexp, bexp, invt, seg, aexp, dtrawexp, dsexp)
+
+    dx = dx_p[:, :N].reshape(B, N, H, D)
+    df = df_p[:, :N].reshape(B, N, H, D)
+    # dKexp [C, HG]: K is replicated into the head-diagonal blocks
+    dkexp_sum = dkexp.sum(0).reshape(H, D, H, G)
+    dk = jnp.einsum("hdhg->dg", dkexp_sum)
+    db = db_exp.sum(axis=(0, 1)).reshape(H, G).sum(0)
+    # temperature: invt = 1/clip(tau); dtau = -invt^2 * sum_g dinvt
+    dinvt_h = dinvt.sum(axis=(0, 1)).reshape(H, G).sum(-1)  # [H]
+    tau = temperature.reshape(H).astype(jnp.float32)
+    tau_c = jnp.clip(tau, 0.1, 5.0) if clamp_temperature else tau
+    dtau = -dinvt_h / (tau_c**2)
+    if clamp_temperature:
+        inside = (tau >= 0.1) & (tau <= 5.0)
+        dtau = jnp.where(inside, dtau, 0.0)
+    dtemp = dtau.reshape(temperature.shape).astype(temperature.dtype)
+
+    return (dx.astype(x_mid.dtype), df.astype(fx_mid.dtype),
+            dk.astype(slice_kernel.dtype), db.astype(slice_bias.dtype),
+            dtemp, dwq, dwk, dwv)
+
+
+def slice_attention_fused_v2_with_res(
+    x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv,
+    *, clamp_temperature=True,
+):
+    """Forward returning (out, otok, tok, norm) for the custom VJP."""
+    B, N, H, D = x_mid.shape
+    G = slice_kernel.shape[-1]
+    interpret = jax.default_backend() == "cpu"
+    block_n = min(DEFAULT_BLOCK_N, _round_up(N, 128))
+    n_pad = _round_up(N, block_n)
+    x = x_mid.reshape(B, N, H * D)
+    f = fx_mid.reshape(B, N, H * D)
+    if n_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+        f = jnp.pad(f, ((0, 0), (0, n_pad - N), (0, 0)))
+    kexp, bexp, invt, seg = _prep(
+        slice_kernel, slice_bias, temperature, H, G, clamp_temperature
+    )
+    n_arr = jnp.full((1,), N, jnp.int32)
+    grid = (B, n_pad // block_n)
+    C, HG = H * D, H * G
+
+    tok_full, norm = pl.pallas_call(
+        functools.partial(_agg_kernel, block_n=block_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_n, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, block_n, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((C, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((HG, H), lambda i, j, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, HG, C), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, HG), lambda i, j, *_: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HG, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_arr, x, f, kexp, bexp, invt, seg)
+    tok = jnp.einsum("bhghd->bhgd", tok_full.reshape(B, H, G, H, D))
+    norm = norm.reshape(B, H, G)
+    tok = tok / (norm + 1e-5)[..., None]
+
+    from .attention import slice_token_attention
+
+    otok = slice_token_attention(tok, wq, wk, wv, D**-0.5)
+    aexp = _blockdiag_tokens(otok.astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_deslice_kernel, block_n=block_n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_n, C), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((C, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((HG, H), lambda i, j, *_: (0, 0)),
+                pl.BlockSpec((1, HG, C), lambda i, j, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_n, C), lambda i, j, *_: (i, j, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), x_mid.dtype),
+        interpret=interpret,
+    )(n_arr, x, kexp, bexp, invt, seg, aexp)
+    return out[:, :N], otok, tok, norm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def _fused_v2(x_mid, fx_mid, slice_kernel, slice_bias, temperature,
               wq, wk, wv, clamp_temperature):
-    out, _, otok = slice_attention_fused_v2(
+    out, otok, _, _ = slice_attention_fused_v2_with_res(
         x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv,
         clamp_temperature=clamp_temperature,
     )
@@ -226,21 +505,17 @@ def _fused_v2(x_mid, fx_mid, slice_kernel, slice_bias, temperature,
 
 def _fused_v2_fwd(x_mid, fx_mid, slice_kernel, slice_bias, temperature,
                   wq, wk, wv, clamp_temperature):
-    out = _fused_v2(
+    out, otok, tok, norm = slice_attention_fused_v2_with_res(
         x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv,
-        clamp_temperature,
+        clamp_temperature=clamp_temperature,
     )
-    return out, (x_mid, fx_mid, slice_kernel, slice_bias, temperature, wq, wk, wv)
+    res = (x_mid, fx_mid, slice_kernel, slice_bias, temperature,
+           wq, wk, wv, tok, norm)
+    return (out, otok), res
 
 
 def _fused_v2_bwd(clamp_temperature, res, cts):
-    _, vjp = jax.vjp(
-        functools.partial(
-            _xla_reference_bnhd, clamp_temperature=clamp_temperature
-        ),
-        *res,
-    )
-    return vjp(cts)
+    return _fused_v2_backward(res, cts, clamp_temperature)
 
 
 _fused_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
