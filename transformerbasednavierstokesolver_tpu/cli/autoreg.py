@@ -16,6 +16,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    MetricsLogger,
     checkpoint_path,
     count_parameters,
     dp_put,
@@ -81,6 +82,7 @@ def run_autoregressive(
     count_parameters(state.params)
     update = make_update_fn(make_teacher_forced_loss(step, remat=remat))
 
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
         train_step_l = train_full_l = 0.0
@@ -92,6 +94,13 @@ def run_autoregressive(
             train_step_l += float(aux["step_loss"])
             train_full_l += float(aux["full_loss"])
         test_step, test_full = evaluate(state.params)
+        metrics.log(
+            ep,
+            train_step_loss=train_step_l / ntrain / (T / step),
+            train_full_loss=train_full_l / ntrain,
+            test_step_loss=test_step,
+            test_full_loss=test_full,
+        )
         print(
             "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
             "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(

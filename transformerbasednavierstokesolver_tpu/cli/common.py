@@ -71,6 +71,8 @@ def base_parser(description="Training Transolver", **overrides):
                    help="resume from the saved train state (params + optimizer + step)")
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
                    help="compute dtype (params stay f32); bf16 for throughput")
+    p.add_argument("--metrics_file", type=str, default=None,
+                   help="append per-epoch metrics as JSON lines to this file")
     return p
 
 
@@ -200,3 +202,31 @@ def dp_put():
         return jax.device_put(a, NamedSharding(mesh, spec))
 
     return put
+
+
+class MetricsLogger:
+    """Structured per-epoch metrics (JSONL) -- the observability layer the
+    reference lacks (print() only, SURVEY.md section 5).  Records wall-clock
+    and derived throughput alongside whatever the trainer reports."""
+
+    def __init__(self, path=None, samples_per_epoch=None):
+        self.path = path
+        self.samples = samples_per_epoch
+        self.t0 = time.perf_counter()
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def log(self, epoch, **metrics):
+        t = time.perf_counter()
+        rec = {"epoch": epoch, "wall_s": round(t - self.t0, 3)}
+        if self.samples:
+            rec["samples_per_sec"] = round(self.samples / max(t - self.t0, 1e-9), 3)
+        rec.update({k: (round(float(v), 6) if isinstance(v, (int, float)) else v)
+                    for k, v in metrics.items()})
+        self.t0 = t
+        if self.path:
+            import json
+
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec

@@ -18,6 +18,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    MetricsLogger,
     checkpoint_path,
     count_parameters,
     dp_put,
@@ -90,6 +91,7 @@ def run_steady(
     update = make_update_fn(loss_fn)
 
     put = dp_put()
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
         train_loss = 0.0
@@ -100,6 +102,7 @@ def run_steady(
             train_loss += float(loss)
         print("Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain))
         rel_err = evaluate(state.params)
+        metrics.log(ep, train_loss=train_loss / ntrain, rel_err=rel_err)
         print(f"rel_err:{rel_err}")
         if ep % 100 == 0:
             print("save model")
