@@ -121,12 +121,13 @@ def slice_attention(
       (out_x [B, N, H*D], slice_weights [B, H, N, G], out_slice_token [B, H, G, D])
     """
     if impl == "pallas":
-        from . import pallas_attention
+        from . import pallas_attention_v2
 
-        if dropout_fn is None and pallas_attention.supported(x_mid, slice_kernel):
-            return pallas_attention.slice_attention_fused(
-                x_mid, fx_mid, slice_kernel, slice_bias, temperature,
-                wq, wk, wv, clamp_temperature=clamp_temperature,
+        xb = x_mid.transpose(0, 2, 1, 3)  # this API is [B,H,N,D]; v2 wants [B,N,H,D]
+        if dropout_fn is None and pallas_attention_v2.supported(xb, slice_kernel):
+            return pallas_attention_v2.fused(
+                xb, fx_mid.transpose(0, 2, 1, 3), slice_kernel, slice_bias,
+                temperature, wq, wk, wv, clamp_temperature=clamp_temperature,
             )
         # fall through to the XLA reference path
 

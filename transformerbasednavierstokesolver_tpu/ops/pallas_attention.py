@@ -1,4 +1,8 @@
-"""Fused Pallas TPU kernels for the physics-attention core.
+"""Fused Pallas TPU kernels for the physics-attention core (v1, LEGACY).
+
+Superseded by ``pallas_attention_v2`` (packed-lane layout, hand-written
+backward); kept as the simpler reference implementation of the fusion
+strategy.  Nothing on the hot path dispatches here anymore.
 
 The XLA path materializes ``slice_weights [B, H, N, G]`` in HBM three times
 (softmax write + aggregation read + deslice read) -- the dominant memory
