@@ -33,7 +33,6 @@ def main(argv=None):
     from transformerbasednavierstokesolver_tpu.train.checkpoint import (
         export_torch_state_dict,
         import_torch_state_dict,
-        restore_params,
         save_params,
     )
 

@@ -1,7 +1,5 @@
 """Native checkpoint save/restore, train-state resume, mismatch errors."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

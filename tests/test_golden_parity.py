@@ -12,7 +12,6 @@ import os
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 CKPT = "/root/reference/checkpoints/ep400_sim100.pt"

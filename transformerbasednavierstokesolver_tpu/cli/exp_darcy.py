@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..data.datasets import load_darcy, meshgrid_pos
 from ..models import get_model
 from ..train.checkpoint import save_params
-from ..train.loop import TrainState, create_train_state, make_update_fn
+from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import central_diff, rel_lp
 from .common import (

@@ -8,11 +8,9 @@ here it is a cosine schedule over ``--epochs``, stepped per epoch like the
 reference's ``scheduler.step()`` placement (``exp_elas.py:178``).
 """
 
-import jax
-
 from ..data.datasets import load_elasticity
 from ..models import get_model
-from .common import base_parser, save_figures, model_dtype
+from .common import base_parser, model_dtype
 from .steady import run_steady
 
 

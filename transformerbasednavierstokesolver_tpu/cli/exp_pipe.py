@@ -4,8 +4,6 @@ Deformed 129x129 mesh; x and y UnitTransformer-normalized
 (``exp_pipe.py:83-91``), predictions decoded before the loss.
 """
 
-import numpy as np
-
 from ..data.datasets import load_pipe
 from ..models import get_model
 from .common import base_parser, model_dtype

@@ -27,7 +27,7 @@ from ..models.slice_learners import LearnSlice, SliceLearner
 from ..ops.embedding import unified_pos_grid_2d
 from ..train.checkpoint import restore_params, save_params
 from ..train.loop import TrainState, make_update_fn
-from ..train.optim import freeze_subtrees, make_optimizer
+from ..train.optim import make_optimizer
 from .common import count_parameters, epoch_batches
 
 H = W = 64

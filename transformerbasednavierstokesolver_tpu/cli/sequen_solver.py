@@ -24,7 +24,7 @@ from ..data.datasets import load_ns_vorticity
 from ..models.sequensolver import SequenSolver, SequenSolverMerged
 from ..ops.embedding import unified_pos_grid_2d
 from ..train.checkpoint import restore_params, save_params
-from ..train.loop import create_train_state, make_update_fn
+from ..train.loop import make_update_fn
 from ..train.optim import freeze_subtrees, make_optimizer
 from ..utils.losses import rel_lp
 from .common import epoch_batches, count_parameters

@@ -25,8 +25,6 @@ TPU-first changes:
   * slice weights / codes are function results, not module state.
 """
 
-from typing import Optional
-
 import numpy as np
 
 import jax

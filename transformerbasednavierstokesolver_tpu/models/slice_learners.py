@@ -21,8 +21,6 @@ Reference quirks preserved and documented:
     (``LearnSlice.py:221-222``), so its weights are identically 1.0.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,7 @@ broadcast parameters, so XLA compiles the inner model once regardless of the
 curriculum's look-ahead value.
 """
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

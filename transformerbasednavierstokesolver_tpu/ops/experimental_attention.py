@@ -8,8 +8,6 @@ imported but never instantiated by any reference model
 alternative, off the critical path.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -18,8 +16,6 @@ from .initializers import (
     make_torch_conv_bias_init,
     torch_conv_kernel_init,
     torch_linear_kernel_init,
-    trunc_normal_002,
-    zeros,
 )
 
 

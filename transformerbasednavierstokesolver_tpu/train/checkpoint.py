@@ -18,7 +18,6 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-import jax.numpy as jnp
 from flax import serialization, traverse_util
 
 
