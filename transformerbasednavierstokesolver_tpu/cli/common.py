@@ -221,8 +221,13 @@ class MetricsLogger:
         rec = {"epoch": epoch, "wall_s": round(t - self.t0, 3)}
         if self.samples:
             rec["samples_per_sec"] = round(self.samples / max(t - self.t0, 1e-9), 3)
-        rec.update({k: (round(float(v), 6) if isinstance(v, (int, float)) else v)
-                    for k, v in metrics.items()})
+        def coerce(v):
+            try:
+                return round(float(v), 6)  # handles device scalars too
+            except (TypeError, ValueError):
+                return v
+
+        rec.update({k: coerce(v) for k, v in metrics.items()})
         self.t0 = t
         if self.path:
             import json
