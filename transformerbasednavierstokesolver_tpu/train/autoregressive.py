@@ -67,12 +67,15 @@ def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
 
 
 def make_teacher_forced_loss(step: int = 1, remat: bool = False,
-                             unroll: int = 1):
+                             unroll: int = 1, track_full: bool = True):
     """Loss for ``make_update_fn``: full teacher-forced scan under one grad.
 
     ``remat=True`` rematerializes each rollout step's forward in the backward
     pass (10x BPTT activation-memory reduction -- the HBM lever that lets the
     flagship config train at full batch on a single chip).
+    ``track_full=False`` drops the stacked-predictions full-trajectory metric
+    (loss-only scan carry -- less residual traffic when only the step loss is
+    needed).
     """
 
     def loss_fn(params, apply_fn, x, fx, yy):
@@ -94,11 +97,13 @@ def make_teacher_forced_loss(step: int = 1, remat: bool = False,
                 im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
             )
             fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
-            return (fx_, loss), im
+            return (fx_, loss), (im if track_full else None)
 
         (_, loss), preds = lax.scan(
             body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
         )
+        if not track_full:
+            return loss, {"step_loss": loss, "full_loss": loss}
         full = rel_lp(
             _stack_preds(preds).reshape(bsz, -1),
             yy.reshape(bsz, -1),
