@@ -44,6 +44,7 @@ def main():
         H=h, W=h,
         impl=os.environ.get("BENCH_IMPL", "xla"),
         use_checkpoint=os.environ.get("BENCH_REMAT_BLOCKS", "0") == "1",
+        conv_impl=os.environ.get("BENCH_CONV", "lax"),
         dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
                else None),
     )

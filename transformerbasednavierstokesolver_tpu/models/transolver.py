@@ -62,6 +62,7 @@ class TransolverBlock(nn.Module):
     impl: str = "xla"
     precision: Optional[str] = None
     dtype: Optional[str] = None
+    conv_impl: str = "lax"
 
     def setup(self):
         self.ln_1 = LN("ln_1", self.dtype)
@@ -77,6 +78,7 @@ class TransolverBlock(nn.Module):
             impl=self.impl,
             precision=self.precision,
             dtype=self.dtype,
+            conv_impl=self.conv_impl,
             name="Attn",
         )
         self.ln_2 = LN("ln_2", self.dtype)
@@ -155,6 +157,7 @@ class Transolver(nn.Module):
     scan_unroll: int = 8  # lax.scan unroll for the layer stack (keeps the
     # stacked param layout but removes per-layer dynamic-update-slice
     # residual stacking from the backward pass)
+    conv_impl: str = "lax"  # projection convs: 'lax' | 'shifted'(-matmul)
 
     @property
     def grid_shape(self):
@@ -214,6 +217,7 @@ class Transolver(nn.Module):
             impl=self.impl,
             precision=self.precision,
             dtype=self.dtype,
+            conv_impl=self.conv_impl,
         )
         n_scan = self.n_layers if self.variant == "standard" else self.n_layers - 1
         scan_target = _ScanBlock

@@ -43,6 +43,28 @@ from .initializers import (
 GEOMETRIES = ("irregular", "grid2d", "grid3d")
 
 
+def _shifted_conv2d(xg, kernel, bias):
+    """3x3 SAME conv as 9 shifted matmuls: sum_dy,dx shift(x) @ K[dy, dx].
+
+    Mathematically identical to ``lax.conv_general_dilated``; the matmul
+    weight gradients are plain [C, C'] contractions, avoiding the huge
+    per-batch conv-dW accumulation buffers XLA emits in the backward pass.
+    """
+    B, H, W, C = xg.shape
+    kh, kw, _, Cout = kernel.shape
+    assert (kh, kw) == (3, 3), "shifted conv path supports 3x3 kernels"
+    xp = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.broadcast_to(bias, (B, H, W, Cout)).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            window = xp[:, dy : dy + H, dx : dx + W, :]
+            out = out + jnp.einsum(
+                "bhwc,co->bhwo", window, kernel[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+    return out.astype(xg.dtype)
+
+
 def compute_slice_weights(x_mid, slice_kernel, slice_bias, temperature, clamp_temperature, precision=None):
     """softmax(x_mid @ slice_kernel / temperature) over the slice axis.
 
@@ -214,6 +236,9 @@ class PhysicsAttention(nn.Module):
     impl: str = "xla"
     precision: Optional[str] = None
     dtype: Optional[str] = None  # compute dtype; params stay float32
+    conv_impl: str = "lax"  # 'lax' | 'shifted' (9 shifted matmuls; identical
+    # math, but the weight gradient is 9 clean [C, C'] matmul grads instead
+    # of XLA's per-batch f32[B, 3, 3, C, C'] accumulation buffers)
 
     def setup(self):
         if self.geometry not in GEOMETRIES:
@@ -304,15 +329,20 @@ class PhysicsAttention(nn.Module):
             bias = jnp.concatenate([vx["bias"], vf["bias"]], axis=-1)
             dtype = self.dtype or xg.dtype
             ndim = kernel.ndim - 2
-            both = jax.lax.conv_general_dilated(
-                xg.astype(dtype), kernel.astype(dtype),
-                window_strides=(1,) * ndim,
-                padding="SAME",
-                dimension_numbers=(
-                    ("NHWC", "HWIO", "NHWC") if ndim == 2
-                    else ("NDHWC", "DHWIO", "NDHWC")
-                ),
-            ) + bias.astype(dtype)
+            if self.conv_impl == "shifted" and ndim == 2:
+                both = _shifted_conv2d(
+                    xg.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
+                )
+            else:
+                both = jax.lax.conv_general_dilated(
+                    xg.astype(dtype), kernel.astype(dtype),
+                    window_strides=(1,) * ndim,
+                    padding="SAME",
+                    dimension_numbers=(
+                        ("NHWC", "HWIO", "NHWC") if ndim == 2
+                        else ("NDHWC", "DHWIO", "NDHWC")
+                    ),
+                ) + bias.astype(dtype)
             both = both.reshape(B, N, -1)
             inner = self.heads * self.dim_head
             x_mid, fx_mid = both[..., :inner], both[..., inner:]
