@@ -147,3 +147,32 @@ def test_encoder_encode_decode_shapes():
     rec, projected = attn.apply(params, tok, w, method="reconstruct_fx")
     assert rec.shape == (2, 42, 32)
     assert projected.shape == w.shape
+
+
+def test_merged_projection_equals_separate_convs():
+    """The fused single-conv projection must equal two separate convs."""
+    from flax import linen as nn
+
+    attn = _mk("grid2d", (6, 7))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 42, 32))
+    params = attn.init(jax.random.PRNGKey(4), x)
+
+    x_mid, fx_mid = attn.apply(params, x, method="_project_and_split")
+    p = params["params"]
+    xg = x.reshape(2, 6, 7, 32)
+    ref_x = jax.lax.conv_general_dilated(
+        xg, p["in_project_x"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["in_project_x"]["bias"]
+    ref_f = jax.lax.conv_general_dilated(
+        xg, p["in_project_fx"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["in_project_fx"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(x_mid.reshape(2, 42, -1)), np.asarray(ref_x.reshape(2, 42, -1)),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fx_mid.reshape(2, 42, -1)), np.asarray(ref_f.reshape(2, 42, -1)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -193,3 +193,24 @@ def test_teacher_forced_fast_path_matches_loop(merged_setup):
         np.asarray(fast), np.asarray(jnp.concatenate(outs, -1)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_solve_with_slice_learner(merged_setup):
+    """External slice weights drive the decode (SequenSolver.py:182-291)."""
+    model, params, x, fx = merged_setup
+    n = H * W
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(5), (2, 1, n, M)), axis=-1
+    )
+    out = model.apply(
+        {"params": params}, x, fx, w,
+        method=SequenSolverMerged.solve_with_slice_learner,
+    )
+    assert out.shape == (2, n, 1)
+    # different weights must change the output
+    w2 = jnp.roll(w, 1, axis=-1)
+    out2 = model.apply(
+        {"params": params}, x, fx, w2,
+        method=SequenSolverMerged.solve_with_slice_learner,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
