@@ -214,3 +214,21 @@ def test_solve_with_slice_learner(merged_setup):
         method=SequenSolverMerged.solve_with_slice_learner,
     )
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_incremental_closed_loop_matches_step_loop(merged_setup):
+    model, params, x, fx = merged_setup
+    fast = model.apply(
+        {"params": params}, x, fx, 3,
+        method=SequenSolverMerged.closed_loop_outputs,
+    )
+    f = fx
+    outs = []
+    for _ in range(3):
+        im = model.apply({"params": params}, x, f)
+        outs.append(im)
+        f = jnp.concatenate([f[..., 1:], im], -1)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(jnp.concatenate(outs, -1)),
+        rtol=1e-5, atol=1e-6,
+    )

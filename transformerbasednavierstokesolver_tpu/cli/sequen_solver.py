@@ -169,20 +169,28 @@ def main(argv=None):
     @jax.jit
     def eval_batch(params, x, fx, yy):
         b = x.shape[0]
-        loss = 0.0
-        preds = []
-        for t in range(T_OUT):
-            y = jax.lax.dynamic_slice_in_dim(yy, t, 1, axis=-1)
-            im = model.apply({"params": params}, x, fx, y, use_gt=False)
-            loss = loss + rel_lp(
-                im.reshape(b, -1), y.reshape(b, -1), reduction="sum"
+        if args.variant == "merged":
+            # incremental token window: T x fewer frozen-encoder passes
+            pred = model.apply(
+                {"params": params}, x, fx, T_OUT,
+                method=SequenSolverMerged.closed_loop_outputs,
             )
-            preds.append(im)
-            fx = jnp.concatenate([fx[..., 1:], im], axis=-1)  # closed loop
-        pred = jnp.concatenate(preds, axis=-1)
+        else:
+            preds = []
+            for t in range(T_OUT):
+                im = model.apply({"params": params}, x, fx, None, use_gt=False)
+                preds.append(im)
+                fx = jnp.concatenate([fx[..., 1:], im], axis=-1)
+            pred = jnp.concatenate(preds, axis=-1)
+        loss = sum(
+            rel_lp(pred[..., t : t + 1].reshape(b, -1),
+                   yy[..., t : t + 1].reshape(b, -1), reduction="sum")
+            for t in range(T_OUT)
+        )
         full = rel_lp(pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum")
         first = rel_lp(
-            preds[0].reshape(b, -1), yy[..., :1].reshape(b, -1), reduction="sum"
+            pred[..., :1].reshape(b, -1), yy[..., :1].reshape(b, -1),
+            reduction="sum",
         )
         return loss, full, first
 

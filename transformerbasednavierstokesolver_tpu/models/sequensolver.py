@@ -233,6 +233,29 @@ class SequenSolverMerged(nn.Module):
         slice_weights = self.forward_slice(x, fx, code)
         return self.decode(code, slice_weights)
 
+    def closed_loop_outputs(self, x, fx, n_steps: int):
+        """Closed-loop rollout with INCREMENTAL encoding.
+
+        The naive loop re-encodes the whole T-frame window every step
+        (O(T^2) frozen-encoder passes over the rollout); here the token
+        window slides and only each newly predicted frame is encoded --
+        identical outputs, T x fewer encoder passes.
+
+        Returns [B, N, n_steps].
+        """
+        tokens = self.encode_frames(x, fx)  # [B, 1, T, dim]
+        fx_win = fx
+        outs = []
+        for _ in range(n_steps):
+            code = self.predict_code(tokens)
+            w = self.forward_slice(x, fx_win, code)
+            im = self.decode(code, w)  # [B, N, 1]
+            outs.append(im)
+            new_tok = self.encode_frames(x, im)  # one frame
+            tokens = jnp.concatenate([tokens[:, :, 1:], new_tok], axis=2)
+            fx_win = jnp.concatenate([fx_win[..., 1:], im], axis=-1)
+        return jnp.concatenate(outs, axis=-1)
+
     def teacher_forced_outputs(self, x, fx, yy):
         """All T_out teacher-forced predictions with each frame encoded ONCE.
 
