@@ -49,6 +49,21 @@ def test_forward_parity(N):
     )
 
 
+@pytest.mark.parametrize("H,D,G", [(8, 16, 64), (8, 32, 32), (1, 32, 16)])
+def test_forward_parity_benchmark_shapes(H, D, G):
+    """Head/width combos of the canonical configs (darcy/NS/encoder)."""
+    args = _inputs(N=300, H=H, D=D, G=G)
+    out_ref, _, _ = slice_attention_bnhd(
+        *args, clamp_temperature=True, precision="highest"
+    )
+    out_v2, _, _ = slice_attention_fused_v2(
+        *args, clamp_temperature=True, block_n=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_v2), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_unclamped_temperature():
     args = _inputs(temp_scalar=7.0)  # beyond the clamp range
     out_c, _, _ = slice_attention_fused_v2(*args, clamp_temperature=True)
