@@ -25,7 +25,20 @@ def _cache(name, builder):
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
-    out = builder()
+    # data generation runs on the CPU backend: the spectral solver uses
+    # jnp.fft and the Darcy solver CG while-loops, neither of which the
+    # experimental axon TPU backend implements
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            out = builder()
+    else:
+        out = builder()
     np.savez_compressed(path, **out)
     return out
 
