@@ -62,7 +62,7 @@ def main():
             step=1,
             remat=os.environ.get("BENCH_REMAT", "1") == "1",
             unroll=int(os.environ.get("BENCH_UNROLL", "1")),
-            track_full=os.environ.get("BENCH_TRACK_FULL", "0") == "1",
+            track_full=os.environ.get("BENCH_TRACK_FULL", "1") == "1",
         ),
         donate=True,
     )
