@@ -7,8 +7,14 @@ scripts/Transolver_NS.sh flagship config) on the available accelerator.
 Default config is the fastest verified-correct one: bf16 compute (f32
 params/softmax/head), unrolled layer scan, per-step remat, merged
 projection convs, XLA attention core.  Knobs: BENCH_DTYPE=f32,
-BENCH_IMPL=pallas, BENCH_REMAT=0, BENCH_UNROLL, BENCH_BATCH, BENCH_STEPS.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+BENCH_IMPL=pallas, BENCH_REMAT=0, BENCH_UNROLL, BENCH_BATCH, BENCH_STEPS,
+BENCH_PEAK_TFLOPS (per-chip bf16 peak for MFU; default 197 = TPU v5e).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"tflops_per_sec", "mfu", ...}.
+
+On multi-chip hosts the batch is sharded over a ('data',) mesh before
+timing, so samples/s/chip reflects genuinely distributed throughput rather
+than a replicated computation divided by the device count.
 
 The reference publishes no speed numbers (BASELINE.md); vs_baseline compares
 against the recorded first-round value in BENCH_BASELINE.json when present.
@@ -16,10 +22,42 @@ against the recorded first-round value in BENCH_BASELINE.json when present.
 
 import json
 import os
-import time
+
+
+def _per_step_flops(state, x, fx, n_rollout_steps):
+    """Useful (fwd + bwd) model FLOPs of one train step.
+
+    XLA's cost_analysis counts a ``lax.scan`` body ONCE regardless of trip
+    count, so analysing the whole update under-reports the BPTT rollout by
+    ~n_steps x.  Instead: count one jitted forward with the cost model and
+    scale by rollout steps x 3 (backward ~ 2x forward for matmul-dominated
+    nets; remat recompute is excluded -- standard "model FLOPs" accounting,
+    so MFU honestly reflects the remat overhead).
+    """
+    import jax
+
+    try:
+        fwd = jax.jit(
+            lambda p, x_, fx_: state.apply_fn({"params": p}, x_, fx_)
+        )
+        cost = fwd.lower(state.params, x, fx).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns per-device list
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return None
+        return flops * n_rollout_steps * 3.0
+    except Exception:
+        return None
 
 
 def main():
+    from transformerbasednavierstokesolver_tpu.utils.platform import (
+        select_platform,
+    )
+
+    select_platform()  # honors TBNSS_PLATFORM=cpu for off-TPU smokes
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,13 +71,17 @@ def main():
         make_update_fn,
     )
     from transformerbasednavierstokesolver_tpu.train.optim import make_optimizer
+    from transformerbasednavierstokesolver_tpu.utils.profiling import StepTimer
 
     h, t_in, t_out = 64, 10, 10
     bsz = int(os.environ.get("BENCH_BATCH", "8"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     model = Transolver(
-        space_dim=2, n_layers=8, n_hidden=256, n_head=8, fun_dim=t_in,
+        space_dim=2,
+        n_layers=int(os.environ.get("BENCH_LAYERS", "8")),
+        n_hidden=int(os.environ.get("BENCH_HIDDEN", "256")),
+        n_head=8, fun_dim=t_in,
         out_dim=1, slice_num=32, ref=8, unified_pos=True, geometry="grid2d",
         H=h, W=h,
         impl=os.environ.get("BENCH_IMPL", "xla"),
@@ -48,10 +90,18 @@ def main():
         dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
                else None),
     )
+    n_chips = max(len(jax.devices()), 1)
+    if bsz % n_chips != 0:  # keep the batch shardable over the data axis
+        bsz = max(bsz // n_chips, 1) * n_chips
     rng = np.random.default_rng(0)
     x = jnp.zeros((bsz, h * h, 2), jnp.float32)
     fx = jnp.asarray(rng.normal(size=(bsz, h * h, t_in)), jnp.float32)
     yy = jnp.asarray(rng.normal(size=(bsz, h * h, t_out)), jnp.float32)
+    if n_chips > 1:
+        from transformerbasednavierstokesolver_tpu.cli.common import dp_put
+
+        put = dp_put()
+        x, fx, yy = put(x), put(fx), put(yy)
 
     tx = make_optimizer(1e-3, 10000, 1e-5, None)
     state = create_train_state(
@@ -67,19 +117,22 @@ def main():
         donate=True,
     )
 
-    # warmup/compile (float() forces a device->host sync; block_until_ready
-    # alone under-reports through the remote-relay TPU transport)
+    flops_per_step = _per_step_flops(state, x, fx, t_out)
+
+    # warmup/compile (StepTimer's sync forces a device->host value transfer;
+    # block_until_ready alone under-reports through the remote-relay TPU
+    # transport)
     state, (loss, _) = update(state, x, fx, yy)
     float(loss)
 
-    t0 = time.perf_counter()
+    timer = StepTimer(samples_per_step=bsz)
+    timer.start()
     for _ in range(n_steps):
         state, (loss, _) = update(state, x, fx, yy)
-    float(loss)
-    dt = time.perf_counter() - t0
+    timer.stop(sync_value=loss)
+    dt = timer.durations[-1] / n_steps
 
-    n_chips = max(len(jax.devices()), 1)
-    samples_per_sec = bsz * n_steps / dt / n_chips
+    samples_per_sec = bsz / dt / n_chips
 
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
@@ -87,16 +140,19 @@ def main():
             baseline = json.load(f).get("ns_train_samples_per_sec_per_chip")
     vs = samples_per_sec / baseline if baseline else 1.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "ns_train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 3),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "ns_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 4),
+    }
+    if flops_per_step:
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        tflops = flops_per_step / dt / n_chips / 1e12
+        record["tflops_per_sec"] = round(tflops, 3)
+        record["mfu"] = round(tflops * 1e12 / peak, 4)
+        record["flops_per_step"] = flops_per_step
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

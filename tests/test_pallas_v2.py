@@ -77,6 +77,34 @@ def test_unclamped_temperature():
     )
 
 
+def test_perhead_softmax_underflow_robust():
+    """A huge logit offset in ONE head must not NaN the others' softmax.
+
+    The packed layout shares one [nb, H*G] lane; a row-global max shift would
+    underflow every other head's exp() to 0 (denominator 0 -> NaN).  The
+    kernel computes a per-head max, matching jax.nn.softmax's robustness.
+    """
+    x, f, kern, bias, temp, wq, wk, wv = _inputs(B=1, N=256, H=4, D=16, G=8)
+    # bias shifts apply to every head identically; offset head 0 through x:
+    # scale one head's x rows so its logits sit ~200 above the others
+    x = x.at[:, :, 0, :].mul(200.0)
+    args = (x, f, kern, bias, temp, wq, wk, wv)
+    out_v2, _, otok_v2 = slice_attention_fused_v2(
+        *args, clamp_temperature=True, block_n=128
+    )
+    assert np.isfinite(np.asarray(out_v2)).all()
+    assert np.isfinite(np.asarray(otok_v2)).all()
+    out_ref, _, _ = slice_attention_bnhd(
+        *args, clamp_temperature=True, precision="highest"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_v2), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+    )
+    # gradient path recomputes the softmax in the backward kernels
+    g = jax.grad(lambda a: _fused_v2(*a, True)[0].sum())(args)
+    assert all(np.isfinite(np.asarray(t)).all() for t in g)
+
+
 def test_gradients_match_xla():
     args = _inputs(N=256)
 

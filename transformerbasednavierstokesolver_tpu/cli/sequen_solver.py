@@ -51,6 +51,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_gt_epochs", type=int, default=5,
                    help="original variant: epochs using gt slice weights")
+    # size knobs for smoke tests; defaults = the reference's hard-coded config
+    p.add_argument("--layers", type=int, default=None,
+                   help="temporal layers (default: 8 merged / 5 original)")
+    p.add_argument("--encoder_layers", type=int, default=8)
     return p
 
 
@@ -98,18 +102,28 @@ def main(argv=None):
         pos2d = np.stack([mx.ravel(), my.ravel()], -1)[None]
 
     if args.variant == "merged":
-        model = SequenSolverMerged(T=T_IN, H=H, W=W, M=16, C=32, layers=8,
-                                   sequential_head=16)
+        model = SequenSolverMerged(T=T_IN, H=H, W=W, M=16, C=32,
+                                   layers=args.layers or 8,
+                                   sequential_head=16,
+                                   encoder_layers=args.encoder_layers)
         x_feat = pos
     else:
-        model = SequenSolver(T=T_IN, H=H, W=W, M=16, C=32, layers=8)
+        model = SequenSolver(T=T_IN, H=H, W=W, M=16, C=32,
+                             layers=args.layers or 8,
+                             encoder_layers=args.encoder_layers)
         x_feat = pos2d
 
     bsz = args.batch_size
     steps_per_epoch = (ntrain + bsz - 1) // bsz
+    # Original variant, phase 2 (after the use-gt epochs): the temporal
+    # attention block freezes while the slice head keeps training
+    # (reference ``SequenSolver.py:576-579`` freeze_attention).
+    phase_keys = {"block"} if args.variant == "original" else ()
     tx = freeze_subtrees(
         make_optimizer(args.lr, args.epochs * steps_per_epoch, 1e-5, None),
         {"encoder"},
+        phase_frozen_keys=phase_keys,
+        phase_start_step=args.use_gt_epochs * steps_per_epoch,
     )
     sample = (
         jnp.zeros((1, H * W, x_feat.shape[-1])),

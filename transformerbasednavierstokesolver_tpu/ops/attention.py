@@ -359,7 +359,10 @@ class PhysicsAttention(nn.Module):
         else:
             dropout_fn = None
         clamp = self.geometry != "irregular"
-        if self.impl == "pallas":
+        # The fused kernel never materializes slice weights (returns None);
+        # encoder/autoencoder variants need them for decode/reconstruct_fx,
+        # so they always take the XLA path.
+        if self.impl == "pallas" and not self.autoencoder:
             from . import pallas_attention_v2
 
             if dropout_fn is None and pallas_attention_v2.supported(

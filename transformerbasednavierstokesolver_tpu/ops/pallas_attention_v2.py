@@ -59,6 +59,23 @@ def _segment_onehots(H, G, dtype=jnp.float32):
     return jnp.asarray(seg, dtype)
 
 
+def _perhead_max(z, seg):
+    """Per-head max of packed [nb, H*G] rows, broadcast back to [nb, H*G].
+
+    A row-global max is only *shift*-safe; if one head's max logit sits ~88+
+    below another head's, exp underflows that whole head segment to zero and
+    the per-head denominator becomes 0 -> NaN.  H is a small static constant,
+    so a masked-max per head on the VPU is essentially free.
+    """
+    H = seg.shape[1]
+    out = jnp.zeros_like(z)
+    for h in range(H):
+        mask = seg[:, h][None, :] > 0  # [1, HG], this head's columns
+        mh = jnp.max(jnp.where(mask, z, -jnp.inf), axis=-1, keepdims=True)
+        out = out + jnp.where(mask, mh, 0.0)
+    return out
+
+
 def _packed_w(x_blk, kexp_ref, bias_ref, invt_ref, seg_ref, row0, n_valid):
     """Per-head temperature softmax over packed [block_n, H*G] logits."""
     logits = jnp.dot(
@@ -66,9 +83,9 @@ def _packed_w(x_blk, kexp_ref, bias_ref, invt_ref, seg_ref, row0, n_valid):
         preferred_element_type=jnp.float32,
     ) + bias_ref[0]
     z = logits * invt_ref[0]
-    z = z - jnp.max(z, axis=-1, keepdims=True)  # row-global shift (per-head safe)
-    e = jnp.exp(z)
     seg = seg_ref[:]  # [HG, H]
+    z = z - _perhead_max(z, seg)
+    e = jnp.exp(z)
     sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)  # [nb, H]
     denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
     w = e / denom
@@ -250,9 +267,9 @@ def _bwd_main_kernel(n_ref, x_ref, f_ref, dout_ref, kexp_ref, b_ref,
     # recompute logits, z, w with masking
     logits = jnp.dot(x_blk, kexp_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
     z = logits * invt_ref[0]
-    z = z - jnp.max(z, axis=-1, keepdims=True)
-    e = jnp.exp(z)
     seg = seg_ref[:]
+    z = z - _perhead_max(z, seg)
+    e = jnp.exp(z)
     sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)
     denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
     w = e / denom

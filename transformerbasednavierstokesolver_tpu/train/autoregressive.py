@@ -27,6 +27,28 @@ def _stack_preds(preds_tbnc):
     return preds_tbnc.transpose(1, 2, 0, 3).reshape(b, n, t * s)
 
 
+def _teacher_forced_scan(forward, x, fx, yy, step, unroll=1, track_full=True):
+    """Shared teacher-forced unroll body: returns (loss_sum, preds or None)."""
+    T = yy.shape[-1]
+    n_steps = T // step
+    bsz = x.shape[0]
+
+    def body(carry, t):
+        fx_, loss = carry
+        y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
+        im = forward(x, fx_)
+        loss = loss + rel_lp(
+            im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
+        )
+        fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
+        return (fx_, loss), (im if track_full else None)
+
+    (_, loss), preds = lax.scan(
+        body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
+    )
+    return loss, (_stack_preds(preds) if track_full else None)
+
+
 def teacher_forced_rollout(forward, x, fx, yy, step: int = 1):
     """Teacher-forced unroll; returns (loss_sum, pred [B, N, T]).
 
@@ -34,24 +56,7 @@ def teacher_forced_rollout(forward, x, fx, yy, step: int = 1):
     per-step ``rel_lp(..., reduction='sum')``, matching the reference's
     accumulated step loss.
     """
-    T = yy.shape[-1]
-    n_steps = T // step
-    bsz = x.shape[0]
-
-    def body(carry, t):
-        fx, loss = carry
-        y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
-        im = forward(x, fx)
-        loss = loss + rel_lp(
-            im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
-        )
-        fx = jnp.concatenate([fx[..., step:], y], axis=-1)
-        return (fx, loss), im
-
-    (_, loss), preds = lax.scan(
-        body, (fx, 0.0), jnp.arange(n_steps) * step
-    )
-    return loss, _stack_preds(preds)
+    return _teacher_forced_scan(forward, x, fx, yy, step)
 
 
 def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
@@ -85,29 +90,14 @@ def make_teacher_forced_loss(step: int = 1, remat: bool = False,
         if remat:
             forward = jax.checkpoint(forward)
 
-        T = yy.shape[-1]
-        n_steps = T // step
-        bsz = x.shape[0]
-
-        def body(carry, t):
-            fx_, loss = carry
-            y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
-            im = forward(x, fx_)
-            loss = loss + rel_lp(
-                im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
-            )
-            fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
-            return (fx_, loss), (im if track_full else None)
-
-        (_, loss), preds = lax.scan(
-            body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
+        loss, pred = _teacher_forced_scan(
+            forward, x, fx, yy, step, unroll=unroll, track_full=track_full
         )
-        if not track_full:
+        if pred is None:
             return loss, {"step_loss": loss, "full_loss": loss}
+        bsz = x.shape[0]
         full = rel_lp(
-            _stack_preds(preds).reshape(bsz, -1),
-            yy.reshape(bsz, -1),
-            reduction="sum",
+            pred.reshape(bsz, -1), yy.reshape(bsz, -1), reduction="sum"
         )
         return loss, {"step_loss": loss, "full_loss": full}
 

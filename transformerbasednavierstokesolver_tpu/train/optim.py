@@ -11,6 +11,7 @@ curves are comparable; gradient clipping precedes the update like
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -122,21 +123,60 @@ def _adamw(lr_sched, b1, weight_decay):
     )
 
 
-def freeze_subtrees(tx, frozen_keys):
+def freeze_after_step(threshold: int):
+    """Zero all updates from global step ``threshold`` onward.
+
+    Chained AFTER an inner optimizer this reproduces torch's
+    ``requires_grad=False`` mid-training freeze: the parameter values stop
+    changing entirely (including the AdamW weight-decay term, which torch
+    skips for grad-less params).  Used for the reference's phase-2
+    ``freeze_attention`` (``SequenSolver.py:359-387,576-579``).
+    """
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        scale = (state.count < threshold).astype(jnp.float32)
+        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def freeze_subtrees(tx, frozen_keys, phase_frozen_keys=(),
+                    phase_start_step: Optional[int] = None):
     """Mask updates for top-level param subtrees (e.g. a frozen encoder).
 
     The reference freezes via ``requires_grad=False``
     (``SequenSolverMerged.py:84-86``); here the equivalent is a
     multi-transform that zeroes updates for the named top-level keys
     (combined with ``stop_gradient`` at the frozen module's outputs).
+
+    ``phase_frozen_keys`` are additionally frozen from global step
+    ``phase_start_step`` on -- the original SequenSolver's epoch-gated
+    ``freeze_attention`` (``SequenSolver.py:576-579``: temporal
+    to_q/k/v + mlp + ln_1/ln_2 stop training after the use-gt phase while
+    the slice head keeps learning).
     """
 
     def label(params):
         return {
-            k: ("frozen" if k in frozen_keys else "trainable")
+            k: (
+                "frozen" if k in frozen_keys
+                else "phase" if k in phase_frozen_keys
+                else "trainable"
+            )
             for k in params
         }
 
-    return optax.multi_transform(
-        {"trainable": tx, "frozen": optax.set_to_zero()}, label
-    )
+    transforms = {"trainable": tx, "frozen": optax.set_to_zero()}
+    if phase_frozen_keys:
+        if phase_start_step is None:
+            raise ValueError("phase_frozen_keys requires phase_start_step")
+        transforms["phase"] = optax.chain(
+            tx, freeze_after_step(phase_start_step)
+        )
+    return optax.multi_transform(transforms, label)
