@@ -24,7 +24,7 @@ import json
 import os
 
 
-def _per_step_flops(state, x, fx, n_rollout_steps):
+def _per_step_flops(cost_model, params, x, fx, n_rollout_steps):
     """Useful (fwd + bwd) model FLOPs of one train step.
 
     XLA's cost_analysis counts a ``lax.scan`` body ONCE regardless of trip
@@ -33,14 +33,19 @@ def _per_step_flops(state, x, fx, n_rollout_steps):
     scale by rollout steps x 3 (backward ~ 2x forward for matmul-dominated
     nets; remat recompute is excluded -- standard "model FLOPs" accounting,
     so MFU honestly reflects the remat overhead).
+
+    ``cost_model`` must be the *XLA-impl* model: cost_analysis cannot see
+    inside Pallas custom calls, so costing an impl=mega/pallas forward
+    under-reports by ~50x.  Costing the XLA twin keeps MFU comparable
+    across BENCH_IMPL values (same useful-model-FLOP numerator).
     """
     import jax
 
     try:
         fwd = jax.jit(
-            lambda p, x_, fx_: state.apply_fn({"params": p}, x_, fx_)
+            lambda p, x_, fx_: cost_model.apply({"params": p}, x_, fx_)
         )
-        cost = fwd.lower(state.params, x, fx).compile().cost_analysis()
+        cost = fwd.lower(params, x, fx).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):  # older jax returns per-device list
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -77,19 +82,25 @@ def main():
     bsz = int(os.environ.get("BENCH_BATCH", "8"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
-    model = Transolver(
+    # default = the fused Pallas block megakernel (fastest verified config);
+    # on multi-chip hosts fall back to XLA: the mega custom calls carry no
+    # GSPMD partitioning rules yet, so under dp_put sharding XLA would have
+    # to replicate them.
+    default_impl = "mega" if len(jax.devices()) == 1 else "xla"
+    impl = os.environ.get("BENCH_IMPL", default_impl)
+    model_kwargs = dict(
         space_dim=2,
         n_layers=int(os.environ.get("BENCH_LAYERS", "8")),
         n_hidden=int(os.environ.get("BENCH_HIDDEN", "256")),
         n_head=8, fun_dim=t_in,
         out_dim=1, slice_num=32, ref=8, unified_pos=True, geometry="grid2d",
         H=h, W=h,
-        impl=os.environ.get("BENCH_IMPL", "xla"),
         use_checkpoint=os.environ.get("BENCH_REMAT_BLOCKS", "0") == "1",
         conv_impl=os.environ.get("BENCH_CONV", "lax"),
         dtype=(jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
                else None),
     )
+    model = Transolver(impl=impl, **model_kwargs)
     n_chips = max(len(jax.devices()), 1)
     if bsz % n_chips != 0:  # keep the batch shardable over the data axis
         bsz = max(bsz // n_chips, 1) * n_chips
@@ -117,7 +128,9 @@ def main():
         donate=True,
     )
 
-    flops_per_step = _per_step_flops(state, x, fx, t_out)
+    cost_model = (model if impl == "xla"
+                  else Transolver(impl="xla", **model_kwargs))
+    flops_per_step = _per_step_flops(cost_model, state.params, x, fx, t_out)
 
     # warmup/compile (StepTimer's sync forces a device->host value transfer;
     # block_until_ready alone under-reports through the remote-relay TPU

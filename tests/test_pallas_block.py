@@ -1,0 +1,114 @@
+"""Parity tests for the fused Transolver-block megakernel (ops/pallas_block.py).
+
+Runs in Pallas interpret mode on the CPU backend; compares forward and full
+gradients against the XLA TransolverBlock composition at float32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformerbasednavierstokesolver_tpu.models.transolver import TransolverBlock
+from transformerbasednavierstokesolver_tpu.ops import pallas_block
+
+
+def _extract_params(tree):
+    """TransolverBlock param tree -> flat megakernel param dict."""
+    attn = tree["Attn"]
+    return {
+        "ln1_scale": tree["ln_1"]["scale"],
+        "ln1_bias": tree["ln_1"]["bias"],
+        "conv_kernel": jnp.concatenate(
+            [attn["in_project_x"]["kernel"], attn["in_project_fx"]["kernel"]],
+            axis=-1,
+        ),
+        "conv_bias": jnp.concatenate(
+            [attn["in_project_x"]["bias"], attn["in_project_fx"]["bias"]]
+        ),
+        "slice_kernel": attn["in_project_slice_kernel"],
+        "slice_bias": attn["in_project_slice_bias"],
+        "temperature": attn["temperature"],
+        "wq": attn["to_q_kernel"],
+        "wk": attn["to_k_kernel"],
+        "wv": attn["to_v_kernel"],
+        "out_kernel": attn["to_out"]["kernel"],
+        "out_bias": attn["to_out"]["bias"],
+        "ln2_scale": tree["ln_2"]["scale"],
+        "ln2_bias": tree["ln_2"]["bias"],
+        "w1": tree["mlp"]["linear_pre"]["kernel"],
+        "b1": tree["mlp"]["linear_pre"]["bias"],
+        "w2": tree["mlp"]["linear_post"]["kernel"],
+        "b2": tree["mlp"]["linear_post"]["bias"],
+    }
+
+
+def _setup(H=16, W=16, C=64, heads=4, G=8, mlp_ratio=2, B=2, seed=0):
+    block = TransolverBlock(
+        num_heads=heads, hidden_dim=C, mlp_ratio=mlp_ratio, slice_num=G,
+        geometry="grid2d", grid_shape=(H, W),
+    )
+    rng = np.random.default_rng(seed)
+    fx = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+    variables = block.init(jax.random.PRNGKey(seed), fx)
+    return block, variables, fx
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 64, 4, 8), (17, 12, 32, 2, 16)])
+def test_forward_parity(shape):
+    H, W, C, heads, G = shape
+    block, variables, fx = _setup(H, W, C, heads, G)
+    ref = block.apply(variables, fx)
+    mp = _extract_params(variables["params"])
+    got = pallas_block.fused_transolver_block(
+        fx, mp, grid_shape=(H, W), heads=heads, slice_num=G,
+        mlp_hidden=C * 2,
+    )
+    assert _rel(got, ref) < 1e-5
+
+
+def test_gradient_parity():
+    H, W, C, heads, G = 16, 16, 64, 4, 8
+    block, variables, fx = _setup(H, W, C, heads, G)
+    mp = _extract_params(variables["params"])
+    ct = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, H * W, C)), jnp.float32
+    )
+
+    def loss_ref(fx_, tree):
+        return jnp.sum(block.apply({"params": tree}, fx_) * ct)
+
+    def loss_mega(fx_, mp_):
+        out = pallas_block.fused_transolver_block(
+            fx_, mp_, grid_shape=(H, W), heads=heads, slice_num=G,
+            mlp_hidden=C * 2,
+        )
+        return jnp.sum(out * ct)
+
+    gfx_ref, gtree = jax.grad(loss_ref, argnums=(0, 1))(fx, variables["params"])
+    gfx, gmp = jax.grad(loss_mega, argnums=(0, 1))(fx, mp)
+
+    assert _rel(gfx, gfx_ref) < 1e-5
+    gmp_ref = _extract_params(gtree)
+    for key in gmp:
+        # 1e-4: f32 accumulation-order noise on near-cancelling slice grads
+        assert _rel(gmp[key], gmp_ref[key]) < 1e-4, key
+
+
+def test_supported_gates():
+    ok = pallas_block.supported((2, 256, 64), jnp.float32, (16, 16), 4, 8, 128)
+    assert ok
+    # dropout active -> unsupported
+    assert not pallas_block.supported(
+        (2, 256, 64), jnp.float32, (16, 16), 4, 8, 128, dropout_active=True
+    )
+    # non-2D grid -> unsupported
+    assert not pallas_block.supported(
+        (2, 256, 64), jnp.float32, (16, 16, 4), 4, 8, 128
+    )

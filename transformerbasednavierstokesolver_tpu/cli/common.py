@@ -63,7 +63,7 @@ def base_parser(description="Training Transolver", **overrides):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synth_n", type=int, default=None,
                    help="synthetic-data sample count when benchmark files are absent")
-    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"],
+    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas", "mega"],
                    help="physics-attention implementation")
     p.add_argument("--precision", type=str, default=None,
                    help="jax matmul precision override (e.g. 'highest')")
@@ -71,6 +71,9 @@ def base_parser(description="Training Transolver", **overrides):
                    help="resume from the saved train state (params + optimizer + step)")
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
                    help="compute dtype (params stay f32); bf16 for throughput")
+    p.add_argument("--mesh", type=str, default="auto",
+                   help="device mesh: 'auto' (DP over all devices), 'off', "
+                        "or 'DxS' for an explicit data x space mesh")
     p.add_argument("--metrics_file", type=str, default=None,
                    help="append per-epoch metrics as JSON lines to this file")
     return p
@@ -134,6 +137,26 @@ def save_figures(save_name, idx, panels, clims=None):
         plt.close()
 
 
+def save_mesh_figures(save_name, idx, X, Y, panels, cmap="coolwarm"):
+    """Pred/gt/error panels rendered on a deformed structured mesh, like the
+    reference's airfoil/pipe eval renders (``exp_airfoil.py:113-180``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    outdir = os.path.join("./results", save_name)
+    os.makedirs(outdir, exist_ok=True)
+    for name, img in panels.items():
+        plt.figure()
+        plt.axis("off")
+        plt.pcolormesh(X, Y, img, cmap=cmap, shading="gouraud")
+        plt.colorbar()
+        plt.gca().set_aspect("equal")
+        plt.savefig(os.path.join(outdir, f"case_{idx}_{name}.pdf"))
+        plt.close()
+
+
 class Timer:
     def __init__(self):
         self.t0 = time.perf_counter()
@@ -170,17 +193,21 @@ def save_state(state, args):
     save_train_state(train_state_path(args.save_name), state)
 
 
-def dp_put():
-    """Data-parallel placement for batch arrays when several devices exist.
+def dp_put(mesh_arg="auto"):
+    """Distributed placement for [B, N, ...] batch arrays.
 
-    Returns a function mapping host arrays to device arrays with the batch
-    axis sharded over a ('data',)-major mesh (XLA inserts the gradient psums
-    -- the TPU-native replacement for the reference's absent DDP).  Falls
-    back to plain device placement on one device or non-divisible batches.
+    ``mesh_arg``: ``'auto'`` (all devices on the data axis), ``'off'``
+    (single-device placement), or ``'DxS'`` (e.g. ``'4x2'``) for an explicit
+    ('data', 'space') mesh -- batch over ``data``, mesh-point axis N over
+    ``space`` (physics-attention is naturally sequence-parallel; XLA SPMD
+    inserts the slice-phase psums and conv halo exchanges).  This is the
+    TPU-native replacement for the reference's absent DDP
+    (SURVEY.md section 2.9).  Falls back to plain placement on one device
+    or non-divisible axes.
     """
     import jax
 
-    if jax.device_count() <= 1:
+    if jax.device_count() <= 1 or mesh_arg == "off":
         import jax.numpy as jnp
 
         return jnp.asarray
@@ -189,16 +216,23 @@ def dp_put():
 
     from ..parallel import make_mesh
 
-    mesh = make_mesh()
-    n = mesh.devices.size
+    if mesh_arg and mesh_arg not in ("auto", "data"):
+        d, s = mesh_arg.lower().split("x")
+        mesh = make_mesh(int(d), int(s))
+    else:
+        mesh = make_mesh()
+    nd, ns = mesh.devices.shape
 
     def put(a):
         import jax.numpy as jnp
 
         a = jnp.asarray(a)
-        if a.ndim == 0 or a.shape[0] % n != 0:
+        if a.ndim == 0 or a.shape[0] % nd != 0:
             return a
-        spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+        axes = ["data"]
+        if a.ndim >= 2 and ns > 1 and a.shape[1] % ns == 0:
+            axes.append("space")
+        spec = P(*(tuple(axes) + (None,) * (a.ndim - len(axes))))
         return jax.device_put(a, NamedSharding(mesh, spec))
 
     return put

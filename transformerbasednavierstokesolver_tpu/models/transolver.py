@@ -92,7 +92,61 @@ class TransolverBlock(nn.Module):
             name="mlp",
         )
 
+    def _mega_params(self):
+        """Collect block params into the fused-megakernel layout."""
+        a = self.Attn
+        av = a.variables["params"]
+        vx = a.in_project_x.variables["params"]
+        vf = a.in_project_fx.variables["params"]
+        vo = a.to_out.variables["params"]
+        mv = self.mlp.variables["params"]
+        return {
+            "ln1_scale": self.ln_1.variables["params"]["scale"],
+            "ln1_bias": self.ln_1.variables["params"]["bias"],
+            "conv_kernel": jnp.concatenate([vx["kernel"], vf["kernel"]], -1),
+            "conv_bias": jnp.concatenate([vx["bias"], vf["bias"]]),
+            "slice_kernel": av["in_project_slice_kernel"],
+            "slice_bias": av["in_project_slice_bias"],
+            "temperature": av["temperature"],
+            "wq": av["to_q_kernel"],
+            "wk": av["to_k_kernel"],
+            "wv": av["to_v_kernel"],
+            "out_kernel": vo["kernel"],
+            "out_bias": vo["bias"],
+            "ln2_scale": self.ln_2.variables["params"]["scale"],
+            "ln2_bias": self.ln_2.variables["params"]["bias"],
+            "w1": mv["linear_pre"]["kernel"],
+            "b1": mv["linear_pre"]["bias"],
+            "w2": mv["linear_post"]["kernel"],
+            "b2": mv["linear_post"]["bias"],
+        }
+
+    def _use_mega(self, fx, deterministic):
+        if self.impl != "mega" or self.autoencoder or self.is_initializing():
+            return False
+        if self.geometry != "grid2d" or self.act != "gelu":
+            return False
+        from ..ops import pallas_block
+
+        dtype = self.dtype or fx.dtype
+        return pallas_block.supported(
+            fx.shape, dtype, self.grid_shape, self.num_heads, self.slice_num,
+            self.hidden_dim * self.mlp_ratio,
+            dropout_active=(self.dropout > 0.0 and not deterministic),
+        )
+
     def __call__(self, fx, deterministic: bool = True):
+        if self._use_mega(fx, deterministic):
+            from ..ops.pallas_block import fused_transolver_block
+
+            dtype = self.dtype or fx.dtype
+            return fused_transolver_block(
+                fx.astype(dtype), self._mega_params(),
+                grid_shape=self.grid_shape, heads=self.num_heads,
+                slice_num=self.slice_num,
+                mlp_hidden=self.hidden_dim * self.mlp_ratio,
+                clamp_temperature=True,
+            ).astype(fx.dtype)
         fx = self.Attn(self.ln_1(fx), deterministic=deterministic) + fx
         fx = self.mlp(self.ln_2(fx)) + fx
         return fx

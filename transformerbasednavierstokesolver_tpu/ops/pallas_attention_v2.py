@@ -64,16 +64,22 @@ def _perhead_max(z, seg):
 
     A row-global max is only *shift*-safe; if one head's max logit sits ~88+
     below another head's, exp underflows that whole head segment to zero and
-    the per-head denominator becomes 0 -> NaN.  H is a small static constant,
-    so a masked-max per head on the VPU is essentially free.
+    the per-head denominator becomes 0 -> NaN.
+
+    Implementation note: each head's G logits are a *contiguous* lane
+    segment, so the per-head max is a static lane-slice max; the broadcast
+    back to [nb, H*G] rides the same segment-one-hot matmul as the packed
+    denominator.  (An earlier masked ``where(-inf)`` loop made Mosaic's
+    layout inference blow up: >8 min compile at the flagship shape.)
     """
     H = seg.shape[1]
-    out = jnp.zeros_like(z)
-    for h in range(H):
-        mask = seg[:, h][None, :] > 0  # [1, HG], this head's columns
-        mh = jnp.max(jnp.where(mask, z, -jnp.inf), axis=-1, keepdims=True)
-        out = out + jnp.where(mask, mh, 0.0)
-    return out
+    G = z.shape[-1] // H
+    zh = jnp.concatenate(
+        [jnp.max(z[:, h * G:(h + 1) * G], axis=-1, keepdims=True)
+         for h in range(H)],
+        axis=-1,
+    )  # [nb, H]
+    return jnp.dot(zh, seg.T, preferred_element_type=jnp.float32)
 
 
 def _packed_w(x_blk, kexp_ref, bias_ref, invt_ref, seg_ref, row0, n_valid):

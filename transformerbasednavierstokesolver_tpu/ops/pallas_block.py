@@ -1,0 +1,821 @@
+"""Fused Transolver-block megakernel (Pallas, TPU).
+
+One physics-attention block (reference ``model/Transolver_Structured_Mesh_2D.py:41-75``:
+``fx = Attn(ln_1(fx)) + fx; fx = mlp(ln_2(fx)) + fx`` with the 2D attention of
+``model/Physics_Attention.py:60-119``) runs as TWO Pallas kernels around a tiny
+XLA G x G attention, instead of ~20 XLA fusions:
+
+* **front kernel** (grid over batch x row-blocks, 1-row conv halo):
+  LayerNorm(ln_1) -> merged 3x3 projection conv (9 shifted matmuls, the two
+  reference convs concatenated) -> packed per-head slice softmax (v2 layout:
+  all heads in lanes, block-diagonal slice kernel) -> slice-token aggregation.
+  Emits the slice weights W [B,N,HG] and projections XF [B,N,2C] to HBM once
+  (~50 MB/layer at the flagship config, ~2 HBM round trips cheaper than the
+  XLA fusion chain) plus packed tokens/norms.
+* **XLA glue**: token normalization + G x G MHA (tiny; ``slice_token_attention``).
+* **back kernel** (grid over batch x flat point blocks): deslice (W @ Aexp)
+  -> output projection -> +residual -> LayerNorm(ln_2) -> MLP(gelu) ->
+  +residual.  Emits the next residual stream directly.
+
+The backward pass is hand-derived into three more kernels (bwd-back,
+bwd-slice, bwd-conv; see ``_bwd_*`` below) wrapped in one ``jax.custom_vjp``
+over the whole block, so no [B,N,*] intermediate other than W/XF/dXF ever
+round-trips HBM in either direction.  Gradient parity vs the XLA block is
+tested in ``tests/test_pallas_block.py``.
+
+Layout notes (shared with ``pallas_attention_v2``): C = heads*dim_head lanes,
+HG = heads*slice_num packed lanes; per-head softmax via segment one-hots;
+block-diagonal expanded slice kernel / tokens.  The row-block size R must
+divide the grid height H (true for every benchmark grid: 64, 85, 129, 221,
+51, 101, 31); the conv halo is assembled from two adjacent row blocks, so no
+manual DMA is needed.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_attention_v2 import (
+    _blockdiag_tokens,
+    _expand_blockdiag,
+    _perhead_max,
+    _segment_onehots,
+)
+
+LN_EPS = 1e-5
+
+# v5e has 128 MB of VMEM; Mosaic's default 16 MB scoped limit rejects the
+# fused kernels at production block sizes, so every pallas_call below asks
+# for a higher cap and the block pickers budget well under it.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 = f32 eps).
+
+    Mosaic has no erf lowering; this keeps the megakernel's gelu the *exact*
+    (erf) form of ``ACTIVATION['gelu']`` / torch nn.GELU to f32 precision,
+    rather than silently switching to the tanh approximation.
+    """
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu(p):
+    """Exact (erf) gelu -- matches ``ACTIVATION['gelu']`` / torch nn.GELU."""
+    return 0.5 * p * (1.0 + _erf(p / _SQRT2))
+
+
+def _gelu_grad(p):
+    phi = jnp.exp(-0.5 * p * p) * _INV_SQRT_2PI
+    cdf = 0.5 * (1.0 + _erf(p / _SQRT2))
+    return cdf + p * phi
+
+
+def _ln_fwd(x32, scale, bias):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    rs = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x32 - mu) * rs
+    return xhat * scale + bias, xhat, rs
+
+
+def _ln_bwd(dv32, xhat, rs, scale):
+    """Input gradient of LayerNorm given normalized xhat and rsqrt(var+eps)."""
+    dxhat = dv32 * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return rs * (dxhat - m1 - xhat * m2)
+
+
+def _halo_mask(j, R, W, Hrows):
+    """float32 [R+2, W+2, 1] mask: 1 on valid grid points, 0 on the conv halo.
+
+    Built as an f32 product (Mosaic cannot broadcast bools into the minor
+    dim): padded row p is valid iff 1 <= p <= H, padded col q iff 1 <= q <= W.
+    """
+    prow = j * R + jax.lax.broadcasted_iota(jnp.int32, (R + 2, W + 2, 1), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (R + 2, W + 2, 1), 1)
+    rmask = ((prow >= 1) & (prow <= Hrows)).astype(jnp.float32)
+    cmask = ((pcol >= 1) & (pcol <= W)).astype(jnp.float32)
+    return rmask * cmask
+
+
+def _softmax_packed(logits32, invt, seg):
+    """Per-head temperature softmax over packed [rows, HG] logits."""
+    z = logits32 * invt
+    z = z - _perhead_max(z, seg)
+    e = jnp.exp(z)
+    sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)
+    denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
+    return e / denom
+
+
+# --------------------------------------------------------------------------
+# forward kernels
+# --------------------------------------------------------------------------
+
+
+def _front_kernel(x1_ref, x2_ref, g1_ref, b1_ref, kc_ref, cb_ref,
+                  kexp_ref, bexp_ref, invt_ref, seg_ref,
+                  w_ref, xf_ref, tok_ref, norm_ref,
+                  *, R, W, C, Hrows, cdt):
+    """LN1 + merged 3x3 conv + packed slice softmax + token aggregation."""
+    j = pl.program_id(1)
+    # assemble the (R+2)-row halo block from two adjacent R-row blocks
+    xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
+    y, _, _ = _ln_fwd(xa, g1_ref[0], b1_ref[0])
+    y = (y * _halo_mask(j, R, W, Hrows)).astype(cdt)
+
+    acc = jnp.broadcast_to(cb_ref[0], (R * W, 2 * C)).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = y[dy:dy + R, dx:dx + W, :].reshape(R * W, C)
+            acc = acc + jnp.dot(win, kc_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    xf_ref[0] = acc.astype(xf_ref.dtype)
+    x_mid = acc[:, :C].astype(cdt)
+    f_mid = acc[:, C:]
+
+    logits = jnp.dot(x_mid, kexp_ref[:].astype(cdt),
+                     preferred_element_type=jnp.float32) + bexp_ref[0]
+    w = _softmax_packed(logits, invt_ref[0], seg_ref[:])
+    w_ref[0] = w.astype(w_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        tok_ref[:] = jnp.zeros_like(tok_ref)
+        norm_ref[:] = jnp.zeros_like(norm_ref)
+
+    tok_ref[0] += jax.lax.dot_general(
+        w, f_mid, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    norm_ref[0] += jnp.sum(w, axis=0, keepdims=True)
+
+
+def _back_kernel(w_ref, r_ref, aexp_ref, wo_ref, bo_ref, g2_ref, b2_ref,
+                 w1_ref, bm1_ref, w2_ref, bm2_ref, out_ref, *, cdt):
+    """Deslice + out-projection + residual + LN2 + MLP(gelu) + residual."""
+    w = w_ref[0].astype(cdt)
+    o = jnp.dot(w, aexp_ref[0].astype(cdt), preferred_element_type=jnp.float32)
+    u = jnp.dot(o.astype(cdt), wo_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + bo_ref[0]
+    r2 = u + r_ref[0].astype(jnp.float32)
+    v, _, _ = _ln_fwd(r2, g2_ref[0], b2_ref[0])
+    p = jnp.dot(v.astype(cdt), w1_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + bm1_ref[0]
+    g = _gelu(p)
+    m = jnp.dot(g.astype(cdt), w2_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + bm2_ref[0]
+    out_ref[0] = (r2 + m).astype(out_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# backward kernels
+# --------------------------------------------------------------------------
+
+
+def _bwd_back_kernel(w_ref, r_ref, aexp_ref, dout_ref,
+                     wo_ref, bo_ref, g2_ref, b2_ref,
+                     w1_ref, bm1_ref, w2_ref, bm2_ref,
+                     drdir_ref, dwd_ref, daexp_ref,
+                     dwo_ref, dbo_ref, dg2_ref, db2_ref,
+                     dw1_ref, dbm1_ref, dw2_ref, dbm2_ref, *, cdt):
+    """Backward of the back kernel; recomputes its forward internally."""
+    j = pl.program_id(1)
+    w = w_ref[0].astype(cdt)
+    aexp = aexp_ref[0]
+    o = jnp.dot(w, aexp.astype(cdt), preferred_element_type=jnp.float32)
+    u = jnp.dot(o.astype(cdt), wo_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + bo_ref[0]
+    r2 = u + r_ref[0].astype(jnp.float32)
+    v, xhat2, rs2 = _ln_fwd(r2, g2_ref[0], b2_ref[0])
+    p = jnp.dot(v.astype(cdt), w1_ref[:].astype(cdt),
+                preferred_element_type=jnp.float32) + bm1_ref[0]
+    g = _gelu(p)
+
+    dout = dout_ref[0].astype(jnp.float32)
+    # m-path
+    dg = jnp.dot(dout.astype(cdt), w2_ref[:].astype(cdt).T,
+                 preferred_element_type=jnp.float32)
+    dp = dg * _gelu_grad(p)
+    dv = jnp.dot(dp.astype(cdt), w1_ref[:].astype(cdt).T,
+                 preferred_element_type=jnp.float32)
+    # LN2 backward
+    dr2 = dout + _ln_bwd(dv, xhat2, rs2, g2_ref[0])
+    du = dr2
+    do = jnp.dot(du.astype(cdt), wo_ref[:].astype(cdt).T,
+                 preferred_element_type=jnp.float32)
+
+    drdir_ref[0] = dr2.astype(drdir_ref.dtype)
+    dwd_ref[0] = jax.lax.dot_general(
+        do.astype(cdt), aexp.astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwd_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        daexp_ref[:] = jnp.zeros_like(daexp_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dg2_ref[:] = jnp.zeros_like(dg2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dbm1_ref[:] = jnp.zeros_like(dbm1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        dbm2_ref[:] = jnp.zeros_like(dbm2_ref)
+
+    ct = lambda a, b: jax.lax.dot_general(  # a^T @ b with f32 accum
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    daexp_ref[0] += ct(w, do)
+    dwo_ref[0] += ct(o, du)
+    dbo_ref[0] += jnp.sum(du, axis=0, keepdims=True)
+    dg2_ref[0] += jnp.sum(dv * xhat2, axis=0, keepdims=True)
+    db2_ref[0] += jnp.sum(dv, axis=0, keepdims=True)
+    dw1_ref[0] += ct(v, dp)
+    dbm1_ref[0] += jnp.sum(dp, axis=0, keepdims=True)
+    dw2_ref[0] += ct(g, dout)
+    dbm2_ref[0] += jnp.sum(dout, axis=0, keepdims=True)
+
+
+def _bwd_slice_kernel(xf_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
+                      kexp_ref, bexp_ref, invt_ref, seg_ref,
+                      dxf_ref, dkexp_ref, dbexp_ref, dinvt_ref,
+                      *, C, cdt):
+    """Backward through softmax/aggregation; emits dXF, accumulates slice grads."""
+    j = pl.program_id(1)
+    xf = xf_ref[0]
+    x_mid = xf[:, :C].astype(cdt)
+    f_mid = xf[:, C:].astype(jnp.float32)
+    logits = jnp.dot(x_mid, kexp_ref[:].astype(cdt),
+                     preferred_element_type=jnp.float32) + bexp_ref[0]
+    invt = invt_ref[0]
+    seg = seg_ref[:]
+    w = _softmax_packed(logits, invt, seg)
+
+    dtrawexp = dtrawexp_ref[0]
+    dw = (
+        dwd_ref[0].astype(jnp.float32)
+        + jax.lax.dot_general(f_mid, dtrawexp, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        + dsexp_ref[0]
+    )
+    wdw = w * dw
+    inner = jnp.dot(jnp.dot(wdw, seg, preferred_element_type=jnp.float32),
+                    seg.T, preferred_element_type=jnp.float32)
+    dz = w * (dw - inner)
+    dl = dz * invt
+
+    dx_mid = jax.lax.dot_general(
+        dl.astype(cdt), kexp_ref[:].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    df_mid = jnp.dot(w.astype(cdt), dtrawexp.astype(cdt),
+                     preferred_element_type=jnp.float32)
+    dxf_ref[0] = jnp.concatenate([dx_mid, df_mid], axis=-1).astype(dxf_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dkexp_ref[:] = jnp.zeros_like(dkexp_ref)
+        dbexp_ref[:] = jnp.zeros_like(dbexp_ref)
+        dinvt_ref[:] = jnp.zeros_like(dinvt_ref)
+
+    dkexp_ref[0] += jax.lax.dot_general(
+        x_mid.astype(jnp.float32), dl, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbexp_ref[0] += jnp.sum(dl, axis=0, keepdims=True)
+    dinvt_ref[0] += jnp.sum(dz * logits, axis=0, keepdims=True)
+
+
+def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, drdir_ref,
+                     g1_ref, b1_ref, kc_ref,
+                     dtot_ref, dkc_ref, dg1_ref, db1_ref,
+                     *, R, W, C, Hrows, cdt):
+    """Conv-transpose + dKc + LN1 backward (+ fold in the direct residual grad)."""
+    j = pl.program_id(1)
+    xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
+    _, xhat, rs = _ln_fwd(xa, g1_ref[0], b1_ref[0])
+    y = ((xhat * g1_ref[0] + b1_ref[0]) * _halo_mask(j, R, W, Hrows)).astype(cdt)
+
+    da = jnp.concatenate([d1_ref[0], d2_ref[0, :2]], axis=0).astype(cdt)
+    # dxf halo local coords: row ell <-> original dxf row (jR - 1 + ell)
+    dy_acc = jnp.zeros((R * W, C), jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dkc_ref[:] = jnp.zeros_like(dkc_ref)
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    dxf_center = da[1:1 + R, 1:1 + W, :].reshape(R * W, 2 * C)
+    for dy in range(3):
+        for dx in range(3):
+            # dY[r, c] += dXF[r + 1 - dy, c + 1 - dx] @ Kc[dy, dx]^T
+            win = da[2 - dy:2 - dy + R, 2 - dx:2 - dx + W, :].reshape(R * W, 2 * C)
+            dy_acc = dy_acc + jax.lax.dot_general(
+                win, kc_ref[dy, dx].astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dKc[dy, dx] += Y[local rows dy:dy+R, cols dx:dx+W]^T @ dXF_center
+            ywin = y[dy:dy + R, dx:dx + W, :].reshape(R * W, C)
+            dkc_ref[0, dy, dx] += jax.lax.dot_general(
+                ywin, dxf_center, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # LN1 backward on the center rows (halo rows belong to neighboring blocks)
+    dyg = dy_acc.reshape(R, W, C)
+    xhat_c = xhat[1:1 + R, 1:1 + W, :]
+    rs_c = rs[1:1 + R, 1:1 + W, :]
+    dx = _ln_bwd(dyg, xhat_c, rs_c, g1_ref[0])
+    dtot_ref[0] = (dx + drdir_ref[0].astype(jnp.float32)).astype(dtot_ref.dtype)
+    dg1_ref[0] += jnp.sum(dyg * xhat_c, axis=(0, 1), keepdims=True)[0]
+    db1_ref[0] += jnp.sum(dyg, axis=(0, 1), keepdims=True)[0]
+
+
+# --------------------------------------------------------------------------
+# host-side orchestration
+# --------------------------------------------------------------------------
+
+
+def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
+    """Largest divisor R of H whose kernels fit Mosaic's 16 MB scoped VMEM.
+
+    The kernels request a raised scoped-VMEM cap (``_VMEM_LIMIT``); the
+    budget here keeps blocks well under it so Mosaic retains headroom for
+    double-buffering.  Binding constraint is the bwd-conv kernel (halo
+    blocks of x and dXF from two refs each, the LN recompute, the per-batch
+    dKc accumulator, and all nine live conv windows; measured 17-25 MB at
+    the flagship shape).
+    """
+    best = None
+    for r in range(1, min(Hrows, 64) + 1):
+        if Hrows % r:
+            continue
+        halo = (r + 2) * (W + 2)
+        fwd = 4 * (2 * halo * C + 6 * r * W * C + 3 * r * W * HG)
+        bwd = 4 * (12 * halo * C + 5 * r * W * C + 18 * C * C)
+        if max(fwd, bwd) <= budget_bytes:
+            best = r
+    return best
+
+
+def _pick_flat_block(N, C, HG, M, budget_bytes=40 * 1024 * 1024):
+    """Largest divisor of N whose flat kernels fit the scoped-VMEM limit.
+
+    Binding constraint is the bwd-back kernel: ~2 [*, HG] weight-row copies,
+    ~10 [*, C] activation/grad rows, ~4 [*, M] MLP intermediates (f32),
+    calibrated against Mosaic OOM reports (flagship: Rn=2048 -> 33 MB,
+    Rn=1024 -> 17.3 MB, so ~16 KB/row + constant).  The budget is kept at
+    40 MB although the raised VMEM cap admits more: measured end-to-end,
+    R=16/Rn=2048 beats R=32/Rn=4096 by ~8% (smaller blocks double-buffer
+    better inside the grid pipeline).
+    """
+    row_bytes = 4 * (2 * HG + 10 * C + 4 * M)
+    cap = max(budget_bytes // row_bytes, 8)
+    best = None
+    for b in range(8, min(2048, N, cap) + 1):
+        if N % b == 0:
+            best = b
+    return best
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _pad_rows(xg, R, nb):
+    """[B, H, W, C] -> [B, (nb+1)*R, W+2, C] with a 1-ring zero pad."""
+    B, Hrows, W, C = xg.shape
+    return jnp.pad(
+        xg, ((0, 0), (1, (nb + 1) * R - Hrows - 1), (1, 1), (0, 0))
+    )
+
+
+def _prep_packed(params, H, G, clamp):
+    kexp = _expand_blockdiag(params["slice_kernel"].astype(jnp.float32), H)
+    bexp = jnp.tile(params["slice_bias"].astype(jnp.float32), H).reshape(1, H * G)
+    t = params["temperature"].reshape(H).astype(jnp.float32)
+    if clamp:
+        t = jnp.clip(t, 0.1, 5.0)
+    invt = jnp.repeat(1.0 / t, G).reshape(1, H * G)
+    seg = _segment_onehots(H, G)
+    return kexp, bexp, invt, seg
+
+
+def _front(xg, params, cfg):
+    """Run the front kernel; returns (w, xf, tok [B,H,G,D], norm [B,H,G])."""
+    B, Hrows, W, C = xg.shape
+    heads, G, clamp, cdt = cfg.heads, cfg.G, cfg.clamp, cfg.cdt
+    HG = heads * G
+    R = cfg.R
+    nb = Hrows // R
+    N = Hrows * W
+    xp = _pad_rows(xg, R, nb)
+    kexp, bexp, invt, seg = _prep_packed(params, heads, G, clamp)
+    g1 = params["ln1_scale"].astype(jnp.float32).reshape(1, C)
+    b1 = params["ln1_bias"].astype(jnp.float32).reshape(1, C)
+    kc = params["conv_kernel"].astype(cdt)
+    cb = params["conv_bias"].astype(jnp.float32).reshape(1, 2 * C)
+
+    grid = (B, nb)
+    bs = pl.BlockSpec
+    w, xf, tok_p, norm = pl.pallas_call(
+        functools.partial(_front_kernel, R=R, W=W, C=C, Hrows=Hrows, cdt=cdt),
+        grid=grid,
+        in_specs=[
+            bs((1, R, W + 2, C), lambda i, j: (i, j, 0, 0)),
+            bs((1, R, W + 2, C), lambda i, j: (i, j + 1, 0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((3, 3, C, 2 * C), lambda i, j: (0, 0, 0, 0)),
+            bs((1, 2 * C), lambda i, j: (0, 0)),
+            bs((C, HG), lambda i, j: (0, 0)),
+            bs((1, HG), lambda i, j: (0, 0)),
+            bs((1, HG), lambda i, j: (0, 0)),
+            bs((HG, heads), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            bs((1, R * W, HG), lambda i, j: (i, j, 0)),
+            bs((1, R * W, 2 * C), lambda i, j: (i, j, 0)),
+            bs((1, HG, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, HG), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, HG), cdt),
+            jax.ShapeDtypeStruct((B, N, 2 * C), cdt),
+            jax.ShapeDtypeStruct((B, HG, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(xp, xp, g1, b1, kc, cb, kexp, bexp, invt, seg)
+
+    D = C // heads
+    tok = jnp.einsum("bhghd->bhgd", tok_p.reshape(B, heads, G, heads, D))
+    norm = norm.reshape(B, heads, G)
+    tok = tok / (norm + 1e-5)[..., None]
+    return w, xf, tok, norm
+
+
+def _back(w, fx, aexp, params, cfg):
+    B, N, C = fx.shape
+    HG = aexp.shape[1]
+    Rn = cfg.Rn
+    cdt = cfg.cdt
+    grid = (B, N // Rn)
+    bs = pl.BlockSpec
+    pp = lambda key: params[key].astype(jnp.float32).reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_back_kernel, cdt=cdt),
+        grid=grid,
+        in_specs=[
+            bs((1, Rn, HG), lambda i, j: (i, j, 0)),
+            bs((1, Rn, C), lambda i, j: (i, j, 0)),
+            bs((1, HG, C), lambda i, j: (i, 0, 0)),
+            bs((C, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((C, cfg.M), lambda i, j: (0, 0)),
+            bs((1, cfg.M), lambda i, j: (0, 0)),
+            bs((cfg.M, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=bs((1, Rn, C), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), fx.dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(
+        w, fx, aexp.astype(jnp.float32), params["out_kernel"].astype(cdt),
+        pp("out_bias"), pp("ln2_scale"), pp("ln2_bias"),
+        params["w1"].astype(cdt), pp("b1"), params["w2"].astype(cdt), pp("b2"),
+    )
+    return out
+
+
+class _Cfg:
+    """Static kernel configuration (hashable for custom_vjp nondiff args)."""
+
+    def __init__(self, grid_shape, heads, G, M, clamp, cdt, R, Rn):
+        self.grid_shape = grid_shape
+        self.heads = heads
+        self.G = G
+        self.M = M
+        self.clamp = clamp
+        self.cdt = cdt
+        self.R = R
+        self.Rn = Rn
+        self._key = (grid_shape, heads, G, M, clamp, str(cdt), R, Rn)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Cfg) and self._key == other._key
+
+
+def supported(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
+              kernel_size=3, dropout_active=False):
+    """Whether the fused block kernel covers this configuration."""
+    if dropout_active or kernel_size != 3 or len(grid_shape) != 2:
+        return False
+    B, N, C = fx_shape
+    Hrows, W = grid_shape
+    if Hrows * W != N or C % heads:
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    HG = heads * slice_num
+    if C > 1024 or HG > 1024 or mlp_hidden > 2048:
+        return False
+    if _pick_row_block(Hrows, W, C, HG) is None:
+        return False
+    if _pick_flat_block(N, C, HG, mlp_hidden) is None:
+        return False
+    return True
+
+
+def _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden, clamp):
+    Hrows, W = grid_shape
+    C = fx.shape[-1]
+    HG = heads * slice_num
+    return _Cfg(
+        tuple(grid_shape), heads, slice_num, mlp_hidden, clamp,
+        jnp.bfloat16 if fx.dtype == jnp.bfloat16 else jnp.float32,
+        _pick_row_block(Hrows, W, C, HG),
+        _pick_flat_block(Hrows * W, C, HG, mlp_hidden),
+    )
+
+
+def _attn(tok, params, D):
+    from .attention import slice_token_attention
+
+    return slice_token_attention(
+        tok, params["wq"], params["wk"], params["wv"], D ** -0.5
+    )
+
+
+def _block_fwd_impl(fx, params, cfg):
+    B, N, C = fx.shape
+    Hrows, W = cfg.grid_shape
+    xg = fx.reshape(B, Hrows, W, C)
+    w, xf, tok, norm = _front(xg, params, cfg)
+    otok = _attn(tok, params, C // cfg.heads)
+    aexp = _blockdiag_tokens(otok.astype(jnp.float32))
+    out = _back(w, fx, aexp, params, cfg)
+    return out, (w, xf, tok, norm, otok)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_block(fx, params, cfg):
+    out, _ = _block_fwd_impl(fx, params, cfg)
+    return out
+
+
+def _fused_block_fwd(fx, params, cfg):
+    out, (w, xf, tok, norm, otok) = _block_fwd_impl(fx, params, cfg)
+    return out, (fx, params, w, xf, tok, norm, otok)
+
+
+def _bwd_back(w, fx, aexp, dout, params, cfg):
+    B, N, C = fx.shape
+    HG = aexp.shape[1]
+    Rn, cdt, M = cfg.Rn, cfg.cdt, cfg.M
+    grid = (B, N // Rn)
+    bs = pl.BlockSpec
+    pp = lambda key: params[key].astype(jnp.float32).reshape(1, -1)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_back_kernel, cdt=cdt),
+        grid=grid,
+        in_specs=[
+            bs((1, Rn, HG), lambda i, j: (i, j, 0)),
+            bs((1, Rn, C), lambda i, j: (i, j, 0)),
+            bs((1, HG, C), lambda i, j: (i, 0, 0)),
+            bs((1, Rn, C), lambda i, j: (i, j, 0)),
+            bs((C, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((C, M), lambda i, j: (0, 0)),
+            bs((1, M), lambda i, j: (0, 0)),
+            bs((M, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            bs((1, Rn, C), lambda i, j: (i, j, 0)),
+            bs((1, Rn, HG), lambda i, j: (i, j, 0)),
+            bs((1, HG, C), lambda i, j: (i, 0, 0)),
+            bs((1, C, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+            bs((1, C, M), lambda i, j: (i, 0, 0)),
+            bs((1, 1, M), lambda i, j: (i, 0, 0)),
+            bs((1, M, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, HG), cdt),
+            jax.ShapeDtypeStruct((B, HG, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(
+        w, fx, aexp.astype(jnp.float32), dout,
+        params["out_kernel"].astype(cdt), pp("out_bias"),
+        pp("ln2_scale"), pp("ln2_bias"),
+        params["w1"].astype(cdt), pp("b1"), params["w2"].astype(cdt), pp("b2"),
+    )
+    return outs
+
+
+def _bwd_slice(xf, dwd, dtrawexp, dsexp, params, cfg):
+    B, N, C2 = xf.shape
+    C = C2 // 2
+    HG = dtrawexp.shape[1]
+    Rn, cdt = cfg.Rn, cfg.cdt
+    kexp, bexp, invt, seg = _prep_packed(params, cfg.heads, cfg.G, cfg.clamp)
+    grid = (B, N // Rn)
+    bs = pl.BlockSpec
+    return pl.pallas_call(
+        functools.partial(_bwd_slice_kernel, C=C, cdt=cdt),
+        grid=grid,
+        in_specs=[
+            bs((1, Rn, 2 * C), lambda i, j: (i, j, 0)),
+            bs((1, Rn, HG), lambda i, j: (i, j, 0)),
+            bs((1, HG, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, HG), lambda i, j: (i, 0, 0)),
+            bs((C, HG), lambda i, j: (0, 0)),
+            bs((1, HG), lambda i, j: (0, 0)),
+            bs((1, HG), lambda i, j: (0, 0)),
+            bs((HG, cfg.heads), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            bs((1, Rn, 2 * C), lambda i, j: (i, j, 0)),
+            bs((1, C, HG), lambda i, j: (i, 0, 0)),
+            bs((1, 1, HG), lambda i, j: (i, 0, 0)),
+            bs((1, 1, HG), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, 2 * C), cdt),
+            jax.ShapeDtypeStruct((B, C, HG), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, HG), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(xf, dwd, dtrawexp, dsexp, kexp, bexp, invt, seg)
+
+
+def _bwd_conv(fx, dxf, drdir, params, cfg):
+    B, N, C = fx.shape
+    Hrows, W = cfg.grid_shape
+    R = cfg.R
+    nb = Hrows // R
+    cdt = cfg.cdt
+    xg = fx.reshape(B, Hrows, W, C)
+    xp = _pad_rows(xg, R, nb)
+    dg = dxf.reshape(B, Hrows, W, 2 * C)
+    dp = _pad_rows(dg, R, nb)
+    drg = drdir.reshape(B, Hrows, W, C)
+    g1 = params["ln1_scale"].astype(jnp.float32).reshape(1, C)
+    b1 = params["ln1_bias"].astype(jnp.float32).reshape(1, C)
+    kc = params["conv_kernel"].astype(cdt)
+    grid = (B, nb)
+    bs = pl.BlockSpec
+    return pl.pallas_call(
+        functools.partial(_bwd_conv_kernel, R=R, W=W, C=C, Hrows=Hrows, cdt=cdt),
+        grid=grid,
+        in_specs=[
+            bs((1, R, W + 2, C), lambda i, j: (i, j, 0, 0)),
+            bs((1, R, W + 2, C), lambda i, j: (i, j + 1, 0, 0)),
+            bs((1, R, W + 2, 2 * C), lambda i, j: (i, j, 0, 0)),
+            bs((1, R, W + 2, 2 * C), lambda i, j: (i, j + 1, 0, 0)),
+            bs((1, R, W, C), lambda i, j: (i, j, 0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((1, C), lambda i, j: (0, 0)),
+            bs((3, 3, C, 2 * C), lambda i, j: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            bs((1, R, W, C), lambda i, j: (i, j, 0, 0)),
+            bs((1, 3, 3, C, 2 * C), lambda i, j: (i, 0, 0, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+            bs((1, 1, C), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hrows, W, C), fx.dtype),
+            jax.ShapeDtypeStruct((B, 3, 3, C, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(xp, xp, dp, dp, drg, g1, b1, kc)
+
+
+def _fused_block_bwd(cfg, res, dout):
+    fx, params, w, xf, tok, norm, otok = res
+    B, N, C = fx.shape
+    heads, G = cfg.heads, cfg.G
+    D = C // heads
+    HG = heads * G
+    aexp = _blockdiag_tokens(otok.astype(jnp.float32))
+
+    (drdir, dwd, daexp, dwo_b, dbo_b, dg2_b, db2_b,
+     dw1_b, dbm1_b, dw2_b, dbm2_b) = _bwd_back(w, fx, aexp, dout, params, cfg)
+
+    dotok = jnp.einsum("bhghd->bhgd", daexp.reshape(B, heads, G, heads, D))
+    _, attn_vjp = jax.vjp(
+        lambda t, q, k, v: _attn(t, {"wq": q, "wk": k, "wv": v}, D),
+        tok, params["wq"], params["wk"], params["wv"],
+    )
+    dtok, dwq, dwk, dwv = attn_vjp(dotok)
+
+    denom = (norm + 1e-5)[..., None]
+    dtraw = dtok / denom
+    ds = -jnp.sum(dtok * tok, axis=-1) / (norm + 1e-5)
+    dtrawexp = _blockdiag_tokens(dtraw)
+    dsexp = ds.reshape(B, 1, HG)
+
+    dxf, dkexp_b, dbexp_b, dinvt_b = _bwd_slice(
+        xf, dwd, dtrawexp, dsexp, params, cfg
+    )
+    dtot, dkc_b, dg1_b, db1_b = _bwd_conv(fx, dxf, drdir, params, cfg)
+
+    dks = jnp.einsum("hdhg->dg", dkexp_b.sum(0).reshape(heads, D, heads, G))
+    dbs = dbexp_b.sum(axis=(0, 1)).reshape(heads, G).sum(0)
+    dinvt_h = dinvt_b.sum(axis=(0, 1)).reshape(heads, G).sum(-1)
+    tau = params["temperature"].reshape(heads).astype(jnp.float32)
+    tau_c = jnp.clip(tau, 0.1, 5.0) if cfg.clamp else tau
+    dtau = -dinvt_h / (tau_c ** 2)
+    if cfg.clamp:
+        dtau = jnp.where((tau >= 0.1) & (tau <= 5.0), dtau, 0.0)
+
+    p = params
+    dparams = {
+        "ln1_scale": dg1_b.sum(axis=(0, 1)).astype(p["ln1_scale"].dtype),
+        "ln1_bias": db1_b.sum(axis=(0, 1)).astype(p["ln1_bias"].dtype),
+        "conv_kernel": dkc_b.sum(0).astype(p["conv_kernel"].dtype),
+        "conv_bias": dxf.astype(jnp.float32).sum(axis=(0, 1)).astype(
+            p["conv_bias"].dtype),
+        "slice_kernel": dks.astype(p["slice_kernel"].dtype),
+        "slice_bias": dbs.astype(p["slice_bias"].dtype),
+        "temperature": dtau.reshape(p["temperature"].shape).astype(
+            p["temperature"].dtype),
+        "wq": dwq, "wk": dwk, "wv": dwv,
+        "out_kernel": dwo_b.sum(0).astype(p["out_kernel"].dtype),
+        "out_bias": dbo_b.sum(axis=(0, 1)).astype(p["out_bias"].dtype),
+        "ln2_scale": dg2_b.sum(axis=(0, 1)).astype(p["ln2_scale"].dtype),
+        "ln2_bias": db2_b.sum(axis=(0, 1)).astype(p["ln2_bias"].dtype),
+        "w1": dw1_b.sum(0).astype(p["w1"].dtype),
+        "b1": dbm1_b.sum(axis=(0, 1)).astype(p["b1"].dtype),
+        "w2": dw2_b.sum(0).astype(p["w2"].dtype),
+        "b2": dbm2_b.sum(axis=(0, 1)).astype(p["b2"].dtype),
+    }
+    dtot = dtot.reshape(B, N, C).astype(fx.dtype)
+    return dtot, dparams
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_transolver_block(fx, params, *, grid_shape, heads, slice_num,
+                           mlp_hidden, clamp_temperature=True):
+    """Run one full Transolver block through the fused Pallas megakernel.
+
+    fx: [B, N, C] residual stream (N = H*W row-major).  ``params`` keys:
+    ln1_scale/bias, conv_kernel [3,3,C,2C] (in_project_x ++ in_project_fx),
+    conv_bias [2C], slice_kernel [D,G], slice_bias [G], temperature [1,H,1,1],
+    wq/wk/wv [D,D], out_kernel [C,C], out_bias [C], ln2_scale/bias,
+    w1 [C,M], b1 [M], w2 [M,C], b2 [C].
+    """
+    cfg = _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden,
+                    clamp_temperature)
+    return _fused_block(fx, params, cfg)
