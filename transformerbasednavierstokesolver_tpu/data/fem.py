@@ -1,0 +1,271 @@
+"""Matrix-free Q1 finite-element solvers for synthetic benchmark data.
+
+The four Geo-FNO benchmarks the reference trains on (Elasticity, Plasticity,
+Airfoil, Pipe -- ``/root/reference/README.md:25-33``) ship as external data
+downloads.  When absent, round 1 substituted parametric toys; these solvers
+replace them with real PDE solves in the same geometry/shape regimes
+(VERDICT round-1 item 3):
+
+* plane-stress/strain **linear elasticity** on structured quad meshes with
+  per-element Young's modulus (matrix-free Q1 stiffness + Jacobi-CG) --
+  the engine for the Elasticity void-cell benchmark and, run incrementally
+  with a Hencky deformation-plasticity secant iteration, the Plasticity
+  forging benchmark;
+* scalar **Poisson / duct-flow** on deformed quad meshes (same element
+  machinery, 4-dof) -- the Pipe benchmark's axial velocity;
+* (the Airfoil potential-flow panel method lives in ``panel.py``).
+
+Everything is pure JAX (vmap over elements, ``jax.scipy.sparse.linalg.cg``),
+so generation runs batched on CPU or TPU at build time.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# 2x2 Gauss points / shape-function derivative table for the Q1 quad.
+_GP = np.array([-1.0, 1.0]) / np.sqrt(3.0)
+# local node order: (0,0) (1,0) (1,1) (0,1) in (xi, eta)
+_CORNERS = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
+
+
+def _dshape(xi, eta):
+    """dN/d(xi,eta) for the 4 bilinear shape functions at one Gauss point."""
+    d = np.zeros((4, 2))
+    for a, (sx, se) in enumerate(_CORNERS):
+        d[a, 0] = 0.25 * sx * (1 + se * eta)
+        d[a, 1] = 0.25 * se * (1 + sx * xi)
+    return d
+
+
+_DSHAPE = np.stack(
+    [_dshape(xi, eta) for xi in _GP for eta in _GP]
+)  # [4 gp, 4 nodes, 2]
+
+
+def grid_elements(nodes):
+    """Structured quad connectivity.
+
+    nodes: [s1, s2, 2] coordinates -> element corner coords [nE, 4, 2] with
+    nE = (s1-1)(s2-1), corners in the local Q1 order.
+    """
+    x00 = nodes[:-1, :-1]
+    x10 = nodes[1:, :-1]
+    x11 = nodes[1:, 1:]
+    x01 = nodes[:-1, 1:]
+    quad = jnp.stack([x00, x10, x11, x01], axis=2)  # [s1-1, s2-1, 4, 2]
+    return quad.reshape(-1, 4, 2)
+
+
+def _element_geometry(xe):
+    """Per-Gauss-point dN/dx [4gp, 4, 2] and weighted |J| [4gp] for coords xe [4,2]."""
+    dsh = jnp.asarray(_DSHAPE)  # [4gp, 4, 2]
+    J = jnp.einsum("gad,ae->gde", dsh, xe)  # [4gp, 2(ref), 2(phys)]
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    Jinv = (
+        jnp.stack(
+            [
+                jnp.stack([J[:, 1, 1], -J[:, 0, 1]], -1),
+                jnp.stack([-J[:, 1, 0], J[:, 0, 0]], -1),
+            ],
+            -2,
+        )
+        / detJ[:, None, None]
+    )
+    dndx = jnp.einsum("gad,gde->gae", dsh, Jinv)  # [4gp, 4, 2]
+    return dndx, detJ  # weights are all 1 for 2x2 Gauss
+
+
+def elastic_element_stiffness(xe, nu=0.3, plane_stress=True):
+    """Unit-modulus Q1 stiffness [8, 8] (dofs ordered u0,v0,u1,v1,...)."""
+    dndx, detJ = _element_geometry(xe)
+
+    if plane_stress:
+        c = 1.0 / (1 - nu**2)
+        D = jnp.array(
+            [[c, c * nu, 0], [c * nu, c, 0], [0, 0, c * (1 - nu) / 2]]
+        )
+    else:  # plane strain
+        c = 1.0 / ((1 + nu) * (1 - 2 * nu))
+        D = jnp.array(
+            [
+                [c * (1 - nu), c * nu, 0],
+                [c * nu, c * (1 - nu), 0],
+                [0, 0, c * (1 - 2 * nu) / 2],
+            ]
+        )
+
+    def bmat(g):
+        # B [3, 8] from dN/dx at one Gauss point
+        zeros = jnp.zeros(4)
+        bx, by = dndx[g, :, 0], dndx[g, :, 1]
+        row1 = jnp.stack([bx, zeros], -1).reshape(-1)
+        row2 = jnp.stack([zeros, by], -1).reshape(-1)
+        row3 = jnp.stack([by, bx], -1).reshape(-1)
+        return jnp.stack([row1, row2, row3])
+
+    K = jnp.zeros((8, 8))
+    for g in range(4):
+        B = bmat(g)
+        K = K + detJ[g] * B.T @ D @ B
+    return K
+
+
+def poisson_element_stiffness(xe):
+    """Q1 scalar Laplace stiffness [4, 4] and lumped load vector [4]."""
+    dndx, detJ = _element_geometry(xe)
+    K = jnp.einsum("g,gad,gbd->ab", detJ, dndx, dndx)
+    f = 0.25 * jnp.sum(detJ) * jnp.ones(4)  # int N_a dx for unit source
+    return K, f
+
+
+def _scatter_grid(values, s1, s2, ncomp):
+    """Sum per-element nodal values [nE, 4, ncomp] onto the [s1, s2, ncomp] grid."""
+    v = values.reshape(s1 - 1, s2 - 1, 4, ncomp)
+    out = jnp.zeros((s1, s2, ncomp))
+    out = out.at[:-1, :-1].add(v[:, :, 0])
+    out = out.at[1:, :-1].add(v[:, :, 1])
+    out = out.at[1:, 1:].add(v[:, :, 2])
+    out = out.at[:-1, 1:].add(v[:, :, 3])
+    return out
+
+
+def _gather_grid(u, s1, s2):
+    """[s1, s2, ncomp] grid field -> per-element nodal values [nE, 4, ncomp]."""
+    g = jnp.stack([u[:-1, :-1], u[1:, :-1], u[1:, 1:], u[:-1, 1:]], axis=2)
+    return g.reshape(-1, 4, u.shape[-1])
+
+
+def solve_elasticity(nodes, e_elem, fixed_mask, u_fixed, f_ext,
+                     nu=0.3, plane_stress=True, tol=1e-8, maxiter=2000):
+    """Displacement field for variable-modulus Q1 elasticity on a quad grid.
+
+    nodes:      [s1, s2, 2] coordinates
+    e_elem:     [nE] per-element Young's modulus
+    fixed_mask: [s1, s2, 2] 1.0 where the dof is prescribed
+    u_fixed:    [s1, s2, 2] prescribed displacement values (on fixed dofs)
+    f_ext:      [s1, s2, 2] external nodal forces
+    Returns u [s1, s2, 2].
+    """
+    s1, s2, _ = nodes.shape
+    xe = grid_elements(nodes)
+    K_unit = jax.vmap(
+        lambda x: elastic_element_stiffness(x, nu, plane_stress)
+    )(xe)  # [nE, 8, 8]
+    Ke = K_unit * e_elem[:, None, None]
+
+    free = 1.0 - fixed_mask
+
+    def apply_K(u):  # u [s1, s2, 2]
+        ue = _gather_grid(u, s1, s2).reshape(-1, 8)
+        fe = jnp.einsum("eij,ej->ei", Ke, ue).reshape(-1, 4, 2)
+        return _scatter_grid(fe, s1, s2, 2)
+
+    # rhs on free dofs: f_ext - K @ u_fixed
+    rhs = (f_ext - apply_K(u_fixed * fixed_mask)) * free
+
+    # Jacobi preconditioner from the assembled diagonal
+    diag8 = jnp.einsum("eii->ei", Ke).reshape(-1, 4, 2)
+    diag = _scatter_grid(diag8, s1, s2, 2)
+    diag = jnp.where(diag <= 0, 1.0, diag)
+
+    def A(u):
+        return apply_K(u * free) * free + u * fixed_mask
+
+    u_sol, _ = jax.scipy.sparse.linalg.cg(
+        A, rhs, tol=tol, maxiter=maxiter, M=lambda r: r / diag
+    )
+    return u_sol * free + u_fixed * fixed_mask
+
+
+def element_strain(nodes, u):
+    """Element-averaged small strains [nE, 3] (eps_xx, eps_yy, gamma_xy)."""
+    s1, s2, _ = nodes.shape
+    xe = grid_elements(nodes)
+    ue = _gather_grid(u, s1, s2)  # [nE, 4, 2]
+
+    def one(x, un):
+        dndx, detJ = _element_geometry(x)
+        du = jnp.einsum("gad,ae->gde", dndx, un)  # [4gp, 2(d/dx), 2(u comp)]
+        exx = du[:, 0, 0]
+        eyy = du[:, 1, 1]
+        gxy = du[:, 0, 1] + du[:, 1, 0]
+        w = detJ / jnp.sum(detJ)
+        return jnp.stack(
+            [jnp.sum(exx * w), jnp.sum(eyy * w), jnp.sum(gxy * w)]
+        )
+
+    return jax.vmap(one)(xe, ue)
+
+
+def von_mises_plane(strain, e_elem, nu=0.3, plane_stress=True):
+    """Element von Mises stress [nE] from strains and per-element modulus."""
+    exx, eyy, gxy = strain[:, 0], strain[:, 1], strain[:, 2]
+    if plane_stress:
+        c = e_elem / (1 - nu**2)
+        sxx = c * (exx + nu * eyy)
+        syy = c * (eyy + nu * exx)
+        sxy = c * (1 - nu) / 2 * gxy
+        szz = 0.0
+    else:
+        c = e_elem / ((1 + nu) * (1 - 2 * nu))
+        sxx = c * ((1 - nu) * exx + nu * eyy)
+        syy = c * (nu * exx + (1 - nu) * eyy)
+        sxy = c * (1 - 2 * nu) / 2 * gxy
+        szz = nu * (sxx + syy)
+    return jnp.sqrt(
+        0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2 + (szz - sxx) ** 2)
+        + 3 * sxy**2
+    )
+
+
+def element_to_node(vals, s1, s2):
+    """Average element quantities [nE, ...] to nodes [s1, s2, ...]."""
+    v = vals.reshape(s1 - 1, s2 - 1, *vals.shape[1:])
+    ones = jnp.ones((s1 - 1, s2 - 1) + (1,) * (vals.ndim - 1))
+    num = jnp.zeros((s1, s2) + vals.shape[1:])
+    den = jnp.zeros((s1, s2) + (1,) * (vals.ndim - 1))
+    for sl in (
+        (slice(None, -1), slice(None, -1)),
+        (slice(1, None), slice(None, -1)),
+        (slice(1, None), slice(1, None)),
+        (slice(None, -1), slice(1, None)),
+    ):
+        num = num.at[sl].add(v)
+        den = den.at[sl].add(ones)
+    return num / den
+
+
+def solve_poisson(nodes, fixed_mask, u_fixed, source=1.0, tol=1e-8,
+                  maxiter=2000):
+    """Scalar -lap u = source on a deformed quad grid with Dirichlet walls.
+
+    nodes: [s1, s2, 2]; fixed_mask/u_fixed: [s1, s2].  Returns u [s1, s2].
+    """
+    s1, s2, _ = nodes.shape
+    xe = grid_elements(nodes)
+    Ke, fe = jax.vmap(poisson_element_stiffness)(xe)
+
+    free = 1.0 - fixed_mask
+
+    def apply_K(u):
+        ue = _gather_grid(u[..., None], s1, s2).reshape(-1, 4)
+        out = jnp.einsum("eij,ej->ei", Ke, ue)
+        return _scatter_grid(out[..., None], s1, s2, 1)[..., 0]
+
+    f_ext = source * _scatter_grid(fe[..., None], s1, s2, 1)[..., 0]
+    rhs = (f_ext - apply_K(u_fixed * fixed_mask)) * free
+
+    diag = _scatter_grid(
+        jnp.einsum("eii->ei", Ke)[..., None], s1, s2, 1
+    )[..., 0]
+    diag = jnp.where(diag <= 0, 1.0, diag)
+
+    def A(u):
+        return apply_K(u * free) * free + u * fixed_mask
+
+    u_sol, _ = jax.scipy.sparse.linalg.cg(
+        A, rhs, tol=tol, maxiter=maxiter, M=lambda r: r / diag
+    )
+    return u_sol * free + u_fixed * fixed_mask

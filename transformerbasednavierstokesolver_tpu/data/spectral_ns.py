@@ -45,7 +45,12 @@ def _wavenumbers(n, domain=1.0):
 
 
 def _dealias_mask(n):
-    k = jnp.fft.fftfreq(n, d=1.0 / n) * n  # integer wavenumbers
+    # fftfreq(n, d=1/n) already returns integer wavenumbers -n/2..n/2-1.
+    # (Round 1 multiplied by n again, so the mask kept only k=0 and silently
+    # zeroed the whole nonlinear term -- the generator was integrating pure
+    # forced diffusion.  Caught by the manufactured-advection test in
+    # tests/test_spectral.py::test_nonlinear_term_manufactured_solution.)
+    k = jnp.fft.fftfreq(n, d=1.0 / n)
     kx, ky = jnp.meshgrid(k, k, indexing="ij")
     cutoff = n / 3.0
     return (jnp.abs(kx) <= cutoff) & (jnp.abs(ky) <= cutoff)
@@ -76,11 +81,20 @@ def mcwilliams_vorticity_hat(key, n, k0=6.0, domain=2 * jnp.pi):
 
 
 def gaussian_random_field_hat(key, n, alpha=2.5, tau=7.0):
-    """FNO-style GRF ~ N(0, tau^(2 alpha - 2) (-lap + tau^2)^(-alpha)), periodic."""
+    """FNO GRF w0 ~ N(0, tau^(2 alpha - 2) (-lap + tau^2 I)^(-alpha)), periodic.
+
+    Matches the benchmark's GaussianRF sampler exactly (Li et al. 2020;
+    the nu=1e-5 data the reference downloads, ``README.md:29``):
+    sqrt_eig(k) = n^2 sqrt(2) tau^(alpha-1) (4 pi^2 |k|^2 + tau^2)^(-alpha/2),
+    complex standard-normal coefficients, real part -> E|w_hat(k)|^2 =
+    sqrt_eig^2.  (Round 1 scaled by n instead of n^2 sqrt(2): fields ~90x
+    too weak, leaving the flow in the near-linear regime -- the root cause
+    of the implausibly easy round-1 synthetic NS data.)
+    """
     kx, ky, k2, _ = _wavenumbers(n, domain=1.0)
-    # eigenvalues of (-lap + tau^2 I) on [0,1]^2 with 2pi-wavenumbers
+    # k2 = 4 pi^2 |k_int|^2: eigenvalues of -lap on the unit torus
     coef = (k2 + tau**2) ** (-alpha / 2.0)
-    coef = coef * tau ** (alpha - 1) * n  # scale to match FNO's normalization
+    coef = coef * tau ** (alpha - 1) * np.sqrt(2.0) * n * n
     kr, ki = jax.random.split(key)
     noise = jax.random.normal(kr, (n, n)) + 1j * jax.random.normal(ki, (n, n))
     f_hat = coef * noise
@@ -88,6 +102,56 @@ def gaussian_random_field_hat(key, n, alpha=2.5, tau=7.0):
     f_hat = f_hat.at[0, 0].set(0.0)
     f = jnp.fft.ifft2(f_hat).real
     return jnp.fft.fft2(f)
+
+
+def spectral_downsample(fields, n_out):
+    """Fourier-truncate real [..., N, N] fields to [..., n_out, n_out].
+
+    The FNO benchmark solves nu=1e-5 vorticity on a 256^2 grid and
+    downsamples to 64^2 (Li et al. 2020, appendix; the reference consumes
+    the downloaded 64^2 product, ``README.md:29``).  Mode truncation keeps
+    the resolved part of the 256^2 solution bit-consistent with its own
+    low-pass, which direct 64^2 integration at nu=1e-5 does not (it is
+    badly under-resolved -- see tests/test_spectral.py).
+    """
+    n_in = fields.shape[-1]
+    if n_in == n_out:
+        return fields
+    h = n_out // 2
+    f_hat = jnp.fft.fft2(fields)
+    corners = jnp.concatenate(
+        [
+            jnp.concatenate([f_hat[..., :h, :h], f_hat[..., :h, -h:]], axis=-1),
+            jnp.concatenate([f_hat[..., -h:, :h], f_hat[..., -h:, -h:]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return jnp.fft.ifft2(corners).real * (n_out / n_in) ** 2
+
+
+def radial_energy_spectrum(w, domain=1.0):
+    """Radially-binned kinetic-energy spectrum E(k) of a vorticity field.
+
+    Returns (k_bins [n//2], E [n//2]) with E(k) = sum over the annulus
+    |k_int - k| < 1/2 of 0.5 |u_hat|^2 / n^4 (KE per integer wavenumber).
+    """
+    n = w.shape[-1]
+    kx, ky, k2, k2_safe = _wavenumbers(n, domain)
+    w_hat = jnp.fft.fft2(w)
+    # |u_hat|^2 = |k x psi_hat|^2 = k2 |psi_hat|^2 = |w_hat|^2 / k2
+    e_density = jnp.where(k2 > 0, 0.5 * jnp.abs(w_hat) ** 2 / k2_safe, 0.0)
+    e_density = e_density / n**4  # Parseval: mean KE = sum(e_density)
+    scale = domain / (2 * jnp.pi)  # bin by integer mode index
+    kmag = jnp.sqrt(k2) * scale
+    nbins = n // 2
+    idx = jnp.clip(jnp.round(kmag).astype(jnp.int32), 0, nbins)
+    spec = jnp.zeros(nbins + 1).at[idx.ravel()].add(e_density.ravel())
+    return jnp.arange(1, nbins), spec[1:nbins]
+
+
+def enstrophy(w):
+    """Mean enstrophy 0.5 <w^2> of physical vorticity fields."""
+    return 0.5 * jnp.mean(w**2, axis=(-2, -1))
 
 
 def velocity_from_vorticity_hat(w_hat, domain=1.0):
@@ -145,23 +209,35 @@ def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
 
 def generate_vorticity_dataset(
     key, sims, frames, n=64, nu=1e-5, dt=1e-3, frame_dt=1.0,
-    init="grf", forced=True, warmup_frames=0,
+    init="grf", forced=True, warmup_frames=0, sim_n=None, batch=None,
 ):
-    """FNO-benchmark-style dataset: [sims, n, n, frames] vorticity snapshots."""
+    """FNO-benchmark-style dataset: [sims, n, n, frames] vorticity snapshots.
+
+    ``sim_n`` (default ``n``): solver resolution.  The benchmark regime for
+    nu=1e-5 is sim_n=256, dt=1e-4, frame_dt=1 (Li et al. 2020): the IC is
+    drawn at sim_n and the recorded frames are Fourier-truncated to ``n``.
+    ``batch``: chunk the vmap over sims to bound memory at high sim_n.
+    """
+    sim_n = sim_n or n
     keys = jax.random.split(key, sims)
-    f_hat = jnp.fft.fft2(fno_forcing(n)) if forced else jnp.zeros((n, n), jnp.complex64)
+    f_hat = (jnp.fft.fft2(fno_forcing(sim_n)) if forced
+             else jnp.zeros((sim_n, sim_n), jnp.complex64))
     record_every = max(int(round(frame_dt / dt)), 1)
     n_steps = record_every * (frames + warmup_frames)
 
     def one(k):
         if init == "grf":
-            w0 = gaussian_random_field_hat(k, n)
+            w0 = gaussian_random_field_hat(k, sim_n)
         else:
-            w0 = mcwilliams_vorticity_hat(k, n)
+            w0 = mcwilliams_vorticity_hat(k, sim_n)
         traj = simulate_vorticity(w0, f_hat, n_steps, record_every, dt, nu)
-        return traj[warmup_frames:]
+        return spectral_downsample(traj[warmup_frames:], n)
 
-    frames_t = jax.vmap(one)(keys)  # [sims, frames, n, n]
+    batch = batch or sims
+    chunks = []
+    for i in range(0, sims, batch):
+        chunks.append(jax.vmap(one)(keys[i:i + batch]))
+    frames_t = jnp.concatenate(chunks, 0)  # [sims, frames, n, n]
     return np.asarray(frames_t.transpose(0, 2, 3, 1), dtype=np.float32)
 
 
