@@ -69,6 +69,48 @@ def test_sharded_train_step_matches_single_device():
         )
 
 
+def test_ns_256_spatially_sharded_forward():
+    """The SURVEY section-7.6 target config: 256x256 NS grid with the mesh-point
+    axis sharded over the 'space' axis.  Forward numerics must match the
+    unsharded run (XLA SPMD inserts the slice-phase psums and the conv halo
+    exchanges); this is the N-axis sequence-parallel path a single chip
+    cannot hold at full hidden width."""
+    h, t_in, bsz = 256, 4, 2
+    model = Transolver(
+        space_dim=2, n_layers=2, n_hidden=32, n_head=4, fun_dim=t_in,
+        out_dim=1, slice_num=8, ref=4, unified_pos=True, geometry="grid2d",
+        H=h, W=h,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.zeros((bsz, h * h, 2))
+    fx = jnp.asarray(rng.normal(size=(bsz, h * h, t_in)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1], fx[:1])["params"]
+
+    fwd = jax.jit(lambda p, x_, f_: model.apply({"params": p}, x_, f_))
+    ref = fwd(params, x, fx)
+
+    mesh = make_mesh(data=2, space=4)
+    sharding = NamedSharding(mesh, P("data", "space", None))
+    xs, fxs = jax.device_put(x, sharding), jax.device_put(fx, sharding)
+    pr = replicate_params(mesh, params)
+    got = fwd(pr, xs, fxs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_dp_put_mesh_flag():
+    """dp_put('DxS') shards batch over data and N over space."""
+    from transformerbasednavierstokesolver_tpu.cli.common import dp_put
+
+    put = dp_put("4x2")
+    a = put(np.zeros((8, 64, 3), np.float32))
+    assert tuple(a.sharding.spec)[:2] == ("data", "space")
+    b = put(np.zeros((7, 64, 3), np.float32))  # non-divisible batch: no shard
+    assert getattr(b.sharding, "spec", P())[:1] != ("data",)
+    assert callable(dp_put("off"))
+
+
 def test_shard_batch_helper():
     mesh = make_mesh(data=4, space=2)
     x = jnp.zeros((8, 64, 3))

@@ -19,7 +19,7 @@ from ..train.checkpoint import save_params
 from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
-from .common import base_parser, count_parameters, epoch_batches, model_dtype
+from .common import dp_put, base_parser, count_parameters, epoch_batches, model_dtype
 
 
 def build_argparser():
@@ -60,6 +60,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
     train, test, h = frames_dataset(args)
     ntrain_f, ntest_f = train.shape[0], test.shape[0]
     pos = meshgrid_pos(h)
@@ -107,8 +108,8 @@ def main(argv=None):
     def evaluate(params):
         total = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest_f, bsz, shuffle=False):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
-            total += float(recon_loss(params, x, jnp.asarray(test[idx])))
+            x = put(pos.repeat(len(idx), 0))
+            total += float(recon_loss(params, x, put(test[idx])))
         return total / ntest_f
 
     if args.eval:
@@ -127,8 +128,8 @@ def main(argv=None):
     for ep in range(args.epochs):
         train_l = 0.0
         for idx in epoch_batches(data_rng, ntrain_f, bsz):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
-            state, (loss, _) = update(state, x, jnp.asarray(train[idx]))
+            x = put(pos.repeat(len(idx), 0))
+            state, (loss, _) = update(state, x, put(train[idx]))
             train_l += float(loss)
         print(
             f"Epoch {ep} , train_step_loss:{train_l / ntrain_f} , "

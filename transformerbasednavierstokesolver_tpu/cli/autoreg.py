@@ -40,7 +40,7 @@ def run_autoregressive(
         args.lr, args.epochs * steps_per_epoch, args.weight_decay,
         args.max_grad_norm,
     )
-    put = dp_put()
+    put = dp_put(getattr(args, "mesh", "auto"))
     sample = (jnp.zeros((1, n, pos.shape[-1])), jnp.zeros((1, n, t_in)))
 
     @jax.jit
@@ -73,6 +73,24 @@ def run_autoregressive(
         print("evaluation mode")
         count_parameters(params)
         test_step, test_full = evaluate(params)
+        # per-case pred/gt/error figures of the final rollout frame, like the
+        # reference's --eval renders (exp_ns.py eval / exp_airfoil.py:113-180)
+        side = int(round(n ** 0.5))
+        if side * side == n:
+            from .common import save_figures
+
+            for i in range(min(6, ntest)):
+                x = jnp.asarray(pos)
+                _, _, pred = eval_batch(
+                    params, x, jnp.asarray(test_a[i : i + 1]),
+                    jnp.asarray(test_u[i : i + 1]),
+                )
+                pr = np.asarray(pred)[0, :, -1].reshape(side, side)
+                gt = np.asarray(test_u)[i, :, -1].reshape(side, side)
+                save_figures(
+                    args.save_name, i + 1,
+                    {"pred": pr, "gt": gt, "error": gt - pr},
+                )
         print(test_full)
         return params, evaluate, eval_batch, test_full
 

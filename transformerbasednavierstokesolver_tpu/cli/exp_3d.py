@@ -19,6 +19,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    dp_put,
     model_dtype,
     base_parser,
     checkpoint_path,
@@ -62,6 +63,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
     s = args.size
     n = s**3
     ntrain = args.synth_n or 16
@@ -111,10 +113,10 @@ def main(argv=None):
         rel = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
             out = predict(
-                params, jnp.asarray(pos.repeat(len(idx), 0)),
-                jnp.asarray(x_test[idx]),
+                params, put(pos.repeat(len(idx), 0)),
+                put(x_test[idx]),
             )
-            rel += float(rel_lp(out, jnp.asarray(y_test[idx]), reduction="sum"))
+            rel += float(rel_lp(out, put(y_test[idx]), reduction="sum"))
         return rel / ntest
 
     state = create_train_state(
@@ -129,8 +131,8 @@ def main(argv=None):
         train_loss = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             state, (loss, _) = update(
-                state, jnp.asarray(pos.repeat(len(idx), 0)),
-                jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]),
+                state, put(pos.repeat(len(idx), 0)),
+                put(x_train[idx]), put(y_train[idx]),
             )
             train_loss += float(loss)
         print(

@@ -51,8 +51,28 @@ def main(argv=None):
         precision=args.precision,
         dtype=model_dtype(args),
     )
+    def eval_figures(params, predict):
+        # pred/gt/error on the deformed mesh, like exp_airfoil.py:113-180
+        import numpy as np
+
+        from .common import save_mesh_figures
+
+        for i in range(min(6, x_test.shape[0])):
+            out = np.asarray(predict(params, x_test[i : i + 1]))[0]
+            X = x_test[i, :, 0].reshape(s1, s2)
+            Y = x_test[i, :, 1].reshape(s1, s2)
+            save_mesh_figures(
+                args.save_name, i + 1, X, Y,
+                {
+                    "pred": out.reshape(s1, s2),
+                    "gt": y_test[i].reshape(s1, s2),
+                    "error": (y_test[i] - out).reshape(s1, s2),
+                },
+            )
+
     return run_steady(
-        args, model, x_train, y_train, x_test, y_test, geometry="grid2d"
+        args, model, x_train, y_train, x_test, y_test, geometry="grid2d",
+        eval_figures=eval_figures,
     )
 
 

@@ -19,6 +19,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import central_diff, rel_lp
 from .common import (
+    dp_put,
     model_dtype,
     base_parser,
     checkpoint_path,
@@ -64,6 +65,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
     r = args.downsample
     ntest = 200
 
@@ -120,10 +122,10 @@ def main(argv=None):
     def evaluate(params):
         rel_err = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
-            fx = jnp.asarray(x_test_n[idx])
+            x = put(pos.repeat(len(idx), 0))
+            fx = put(x_test_n[idx])
             out = predict(params, x, fx)
-            rel_err += float(rel_lp(out, jnp.asarray(y_test[idx]), reduction="sum"))
+            rel_err += float(rel_lp(out, put(y_test[idx]), reduction="sum"))
         return rel_err / ntest
 
     if args.eval:
@@ -134,8 +136,8 @@ def main(argv=None):
         rel_err = evaluate(params)
         # figure dumps for the first few cases, like exp_darcy.py:166-200
         for i in range(min(9, ntest)):
-            x = jnp.asarray(pos)
-            fx = jnp.asarray(x_test_n[i : i + 1])
+            x = put(pos)
+            fx = put(x_test_n[i : i + 1])
             out = np.asarray(predict(params, x, fx))[0].reshape(s, s)
             gt = y_test[i].reshape(s, s)
             save_figures(
@@ -161,9 +163,9 @@ def main(argv=None):
     for ep in range(args.epochs):
         train_loss = reg = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
-            fx = jnp.asarray(x_train_n[idx])
-            y = jnp.asarray(y_train[idx])  # reference decodes target before the loss
+            x = put(pos.repeat(len(idx), 0))
+            fx = put(x_train_n[idx])
+            y = put(y_train[idx])  # reference decodes target before the loss
             state, (loss, aux) = update(state, x, fx, y)
             train_loss += float(aux["l2"])
             reg += float(aux["deriv"])

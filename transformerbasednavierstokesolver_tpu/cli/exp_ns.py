@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..data.datasets import load_ns_vorticity, meshgrid_pos
 from ..models import get_model
 from .autoreg import run_autoregressive
-from .common import base_parser, save_figures, model_dtype
+from .common import dp_put, base_parser, save_figures, model_dtype
 
 T_IN = 10
 T_OUT = 10
@@ -62,6 +62,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
 
     train_a, train_u, test_a, test_u, h = load_ns_vorticity(
         args.data_path, 50, 50, T_IN, T_OUT, args.downsample,
@@ -76,9 +77,9 @@ def main(argv=None):
     )
 
     if args.eval:
-        x = jnp.asarray(pos)
+        x = put(pos)
         _, _, pred = eval_batch(
-            params, x, jnp.asarray(test_a[:1]), jnp.asarray(test_u[:1])
+            params, x, put(test_a[:1]), put(test_u[:1])
         )
         pred0 = np.asarray(pred)[0, :, -1].reshape(h, h)
         gt0 = test_u[0, :, -1].reshape(h, h)

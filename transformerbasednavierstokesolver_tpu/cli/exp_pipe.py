@@ -32,6 +32,7 @@ def main(argv=None):
     )
     print("Dataloading is over.")
 
+    x_raw_test = x_test.copy()  # physical mesh coords for eval figures
     # UnitTransformer over dims (0, 1): per-channel for x, scalar for y
     xm = x_train.mean(axis=(0, 1), keepdims=True)
     xs = x_train.std(axis=(0, 1), keepdims=True, ddof=1) + 1e-8
@@ -58,9 +59,28 @@ def main(argv=None):
         precision=args.precision,
         dtype=model_dtype(args),
     )
+    def eval_figures(params, predict):
+        # pred/gt/error on the deformed mesh, like exp_airfoil.py:113-180
+        import numpy as np
+
+        from .common import save_mesh_figures
+
+        for i in range(min(6, x_test.shape[0])):
+            out = np.asarray(predict(params, x_test[i : i + 1]))[0]
+            X = np.asarray(x_raw_test[i, :, 0]).reshape(s1, s2)
+            Y = np.asarray(x_raw_test[i, :, 1]).reshape(s1, s2)
+            save_mesh_figures(
+                args.save_name, i + 1, X, Y,
+                {
+                    "pred": out.reshape(s1, s2),
+                    "gt": np.asarray(y_test[i]).reshape(s1, s2),
+                    "error": np.asarray(y_test[i] - out).reshape(s1, s2),
+                },
+            )
+
     return run_steady(
         args, model, x_train, y_train, x_test, y_test,
-        geometry="grid2d", y_stats=(ym, ys),
+        geometry="grid2d", y_stats=(ym, ys), eval_figures=eval_figures,
     )
 
 

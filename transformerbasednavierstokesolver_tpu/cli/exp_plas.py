@@ -21,6 +21,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    dp_put,
     model_dtype,
     base_parser,
     checkpoint_path,
@@ -45,6 +46,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
     ntest = 80
 
     x_train, y_train, x_test, y_test, s1, s2, T, out_dim = load_plasticity(
@@ -105,8 +107,8 @@ def main(argv=None):
         step_sum = full_sum = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
             b = len(idx)
-            x = jnp.asarray(pos.repeat(b, 0))
-            fx = jnp.asarray(x_test[idx])
+            x = put(pos.repeat(b, 0))
+            fx = put(x_test[idx])
             yy = y_test[idx]  # [b, N, 4, T]
             preds = []
             for t in range(T):
@@ -115,13 +117,13 @@ def main(argv=None):
                 preds.append(np.asarray(im))
                 step_sum += float(
                     rel_lp(im.reshape(b, -1),
-                           jnp.asarray(yy[..., t].reshape(b, -1)),
+                           put(yy[..., t].reshape(b, -1)),
                            reduction="sum")
                 )
             pred = np.stack(preds, axis=-1)
             full_sum += float(
-                rel_lp(jnp.asarray(pred.reshape(b, -1)),
-                       jnp.asarray(yy.reshape(b, -1)), reduction="sum")
+                rel_lp(put(pred.reshape(b, -1)),
+                       put(yy.reshape(b, -1)), reduction="sum")
             )
         return step_sum / ntest / T, full_sum / ntest
 
@@ -142,8 +144,8 @@ def main(argv=None):
         train_step_l = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             b = len(idx)
-            x = jnp.asarray(pos.repeat(b, 0))
-            fx = jnp.asarray(x_train[idx])
+            x = put(pos.repeat(b, 0))
+            fx = put(x_train[idx])
             yy = y_train[idx]
             # per-sample random time permutation (random_collate_fn parity)
             perms = np.stack([data_rng.permutation(T) for _ in range(b)])
@@ -152,9 +154,9 @@ def main(argv=None):
                 y_t = np.take_along_axis(
                     yy, pt[:, None, None, None], axis=-1
                 )[..., 0]
-                tt = jnp.asarray(t_grid[pt][:, None])
+                tt = put(t_grid[pt][:, None])
                 state, (loss, _) = update(
-                    state, x, fx, jnp.asarray(y_t), tt
+                    state, x, fx, put(y_t), tt
                 )
                 train_step_l += float(loss)
         ts, tf = evaluate(state.params)

@@ -28,7 +28,7 @@ from ..ops.embedding import unified_pos_grid_2d
 from ..train.checkpoint import restore_params, save_params
 from ..train.loop import TrainState, make_update_fn
 from ..train.optim import make_optimizer
-from .common import count_parameters, epoch_batches
+from .common import dp_put, count_parameters, epoch_batches
 
 H = W = 64
 T_IN = 10
@@ -65,6 +65,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
 
     train_a, train_u, test_a, test_u, h = load_ns_vorticity(
         args.data_path, args.sim_num, 10, T_IN, 10, 1, synth_sims=args.synth_n
@@ -175,10 +176,10 @@ def main(argv=None):
     update = make_update_fn(loss_fn, donate=False)
 
     def batch_features(a_slice, y):
-        x = jnp.asarray(x_feat.repeat(a_slice.shape[0], 0))
-        code = last_token(jnp.asarray(a_slice))
-        prev = gt_slice(jnp.asarray(a_slice[..., -1:]))
-        target = gt_slice(jnp.asarray(y))
+        x = put(x_feat.repeat(a_slice.shape[0], 0))
+        code = last_token(put(a_slice))
+        prev = gt_slice(put(a_slice[..., -1:]))
+        target = gt_slice(put(y))
         return x, code, prev, target
 
     def run_epoch(state, a, u, n, train=True):
@@ -191,11 +192,11 @@ def main(argv=None):
                 x, code, prev, target = batch_features(fx, y)
                 if train:
                     state, (loss, _) = update(
-                        state, x, jnp.asarray(fx), code, prev, target
+                        state, x, put(fx), code, prev, target
                     )
                 else:
                     loss, _ = loss_fn(
-                        state.params, model.apply, x, jnp.asarray(fx),
+                        state.params, model.apply, x, put(fx),
                         code, prev, target,
                     )
                 total += float(loss)

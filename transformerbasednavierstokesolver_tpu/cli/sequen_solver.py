@@ -27,7 +27,7 @@ from ..train.checkpoint import restore_params, save_params
 from ..train.loop import make_update_fn
 from ..train.optim import freeze_subtrees, make_optimizer
 from ..utils.losses import rel_lp
-from .common import epoch_batches, count_parameters
+from .common import dp_put, epoch_batches, count_parameters
 
 T_IN = 10
 T_OUT = 10
@@ -85,6 +85,7 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    put = dp_put(getattr(args, "mesh", "auto"))
 
     ntrain = args.sim_num
     ntest = 10
@@ -211,9 +212,9 @@ def main(argv=None):
     def evaluate(params):
         s = f = fi = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
-            x = jnp.asarray(x_feat.repeat(len(idx), 0))
+            x = put(x_feat.repeat(len(idx), 0))
             a, b_, c = eval_batch(
-                params, x, jnp.asarray(test_a[idx]), jnp.asarray(test_u[idx])
+                params, x, put(test_a[idx]), put(test_u[idx])
             )
             s += float(a); f += float(b_); fi += float(c)
         return s / ntest / T_IN, f / ntest, fi / ntest
@@ -243,9 +244,9 @@ def main(argv=None):
         update = update_cache[use_gt]
         tr_s = tr_f = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = jnp.asarray(x_feat.repeat(len(idx), 0))
+            x = put(x_feat.repeat(len(idx), 0))
             state, (loss, aux) = update(
-                state, x, jnp.asarray(train_a[idx]), jnp.asarray(train_u[idx])
+                state, x, put(train_a[idx]), put(train_u[idx])
             )
             tr_s += float(loss)
             tr_f += float(aux["full"])

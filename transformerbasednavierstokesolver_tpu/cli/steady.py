@@ -90,7 +90,7 @@ def run_steady(
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
-    put = dp_put()
+    put = dp_put(getattr(args, "mesh", "auto"))
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):

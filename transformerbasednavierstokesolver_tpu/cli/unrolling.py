@@ -33,7 +33,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..train.autoregressive import closed_loop_rollout
 from ..utils.losses import rel_lp
-from .common import base_parser, checkpoint_path, count_parameters, epoch_batches
+from .common import dp_put, base_parser, checkpoint_path, count_parameters, epoch_batches
 
 
 def advance_curriculum(variant, ep, look_ahead, thresh, max_look_ahead):
@@ -109,6 +109,7 @@ def _inner_model(args, h, fun_dim, out_dim):
 def _run(args, variant, data_tuple, h, fun_dim, out_dim, step, T,
          look_ahead0, max_look_ahead):
     """Shared driver; ``variant`` selects the loss scheme + curriculum."""
+    put = dp_put(getattr(args, "mesh", "auto"))
     train_a, train_u, test_a, test_u = data_tuple
     ntrain, ntest = train_a.shape[0], test_a.shape[0]
     pos = meshgrid_pos(h)
@@ -142,9 +143,9 @@ def _run(args, variant, data_tuple, h, fun_dim, out_dim, step, T,
     def evaluate(params):
         s_sum = f_sum = 0.0
         for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
+            x = put(pos.repeat(len(idx), 0))
             s, f = eval_batch(
-                params, x, jnp.asarray(test_a[idx]), jnp.asarray(test_u[idx])
+                params, x, put(test_a[idx]), put(test_u[idx])
             )
             s_sum += float(s)
             f_sum += float(f)
@@ -234,9 +235,9 @@ def _run(args, variant, data_tuple, h, fun_dim, out_dim, step, T,
         update = get_update(look_ahead)
         train_l = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = jnp.asarray(pos.repeat(len(idx), 0))
+            x = put(pos.repeat(len(idx), 0))
             state, (loss, _) = update(
-                state, x, jnp.asarray(train_a[idx]), jnp.asarray(train_u[idx])
+                state, x, put(train_a[idx]), put(train_u[idx])
             )
             train_l += float(loss)
         ts, tf = evaluate(state.params)
