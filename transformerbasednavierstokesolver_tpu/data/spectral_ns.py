@@ -21,6 +21,7 @@ Initial conditions:
     ~ N(0, 7^{3/2} (-lap + 49 I)^{-2.5}) used for the vorticity benchmark.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -28,6 +29,147 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# ---------------------------------------------------------------------------
+# FFT backend.  The experimental axon TPU backend implements only the
+# real->complex forward FFT; inverse/complex transforms raise UNIMPLEMENTED.
+# On TPU we therefore evaluate the DFT as matmuls on the MXU: for the
+# benchmark sizes (64..256) the dense DFT matrix is tiny and F X F (F is
+# symmetric) is two [n,n]x[n,n] matmuls -- exactly what the systolic array
+# is built for.  CPU keeps jnp.fft.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _dft_mats(n):
+    jk = np.outer(np.arange(n), np.arange(n))
+    w = np.exp(-2j * np.pi * jk / n)
+    return (
+        jnp.asarray(w.real, jnp.float32),
+        jnp.asarray(w.imag, jnp.float32),
+    )
+
+
+def _cmatmul(ar, ai, br, bi):
+    """(ar + i ai) @ (br + i bi) with f32 accumulation on the MXU."""
+    import jax
+
+    hp = jax.lax.Precision.HIGHEST
+    rr = jnp.matmul(ar, br, precision=hp) - jnp.matmul(ai, bi, precision=hp)
+    ii = jnp.matmul(ar, bi, precision=hp) + jnp.matmul(ai, br, precision=hp)
+    return rr, ii
+
+
+def _dft2_mm(x, inverse):
+    """2D DFT of [..., n, n] complex via F @ X @ F matmuls (F symmetric)."""
+    n = x.shape[-1]
+    fr, fi = _dft_mats(n)
+    if inverse:
+        fi = -fi
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    yr, yi = _cmatmul(fr, fi, xr, xi)   # rows:  F @ X   (broadcasts over batch)
+    yr, yi = _cmatmul(yr, yi, fr, fi)   # cols:  (F X) @ F
+    if inverse:
+        yr, yi = yr / (n * n), yi / (n * n)
+    return jax.lax.complex(yr, yi)
+
+
+def _use_mm_fft():
+    import jax
+
+    mode = os.environ.get("TBNSS_FFT", "auto")
+    if mode == "matmul":
+        return True
+    if mode == "native":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _fft2(x):
+    if _use_mm_fft():
+        return _dft2_mm(x, inverse=False)
+    return jnp.fft.fft2(x)
+
+
+def _ifft2(x):
+    if _use_mm_fft():
+        return _dft2_mm(x, inverse=True)
+    return jnp.fft.ifft2(x)
+
+
+# ---------------------------------------------------------------------------
+# Complex-free (re/im pair) spectral core.  The axon TPU backend implements
+# complex construction but NOT complex arithmetic (even z*w raises
+# UNIMPLEMENTED), so the entire hot path below carries spectra as stacked
+# real pairs ``[..., 2, n, n]`` and the DFTs run as real matmuls on the MXU.
+# CPU uses the same pair interface backed by jnp.fft.
+# ---------------------------------------------------------------------------
+
+
+def _to_pair(z):
+    """complex [..., n, n] -> pair [..., 2, n, n] (host/CPU boundary only)."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-3).astype(jnp.float32)
+
+
+def _from_pair(p):
+    return jax.lax.complex(p[..., 0, :, :], p[..., 1, :, :])
+
+
+def _fft2p(p, inverse=False):
+    """2D DFT of a pair [..., 2, n, n] -> pair."""
+    if not _use_mm_fft():
+        z = _from_pair(p)
+        y = jnp.fft.ifft2(z) if inverse else jnp.fft.fft2(z)
+        return _to_pair(y)
+    n = p.shape[-1]
+    fr, fi = _dft_mats(n)
+    if inverse:
+        fi = -fi
+    xr = p[..., 0, :, :]
+    xi = p[..., 1, :, :]
+    yr, yi = _cmatmul(fr, fi, xr, xi)
+    yr, yi = _cmatmul(yr, yi, fr, fi)
+    if inverse:
+        yr, yi = yr / (n * n), yi / (n * n)
+    return jnp.stack([yr, yi], axis=-3)
+
+
+def _ifft2p_re(p):
+    """Real part of the inverse DFT of a pair -> real [..., n, n]."""
+    return _fft2p(p, inverse=True)[..., 0, :, :]
+
+
+def _fft2p_real(x):
+    """Forward DFT of a real field -> pair (half the matmuls of _fft2p)."""
+    if not _use_mm_fft():
+        return _to_pair(jnp.fft.fft2(x.astype(jnp.float32)))
+    n = x.shape[-1]
+    fr, fi = _dft_mats(n)
+    import jax as _jax
+
+    hp = _jax.lax.Precision.HIGHEST
+    x = x.astype(jnp.float32)
+    ar = jnp.matmul(fr, x, precision=hp)
+    ai = jnp.matmul(fi, x, precision=hp)
+    yr = jnp.matmul(ar, fr, precision=hp) - jnp.matmul(ai, fi, precision=hp)
+    yi = jnp.matmul(ar, fi, precision=hp) + jnp.matmul(ai, fr, precision=hp)
+    return jnp.stack([yr, yi], axis=-3)
+
+
+def _imulk(p, k):
+    """Multiply a pair by i*k for real wavenumber field k."""
+    return jnp.stack(
+        [-k * p[..., 1, :, :], k * p[..., 0, :, :]], axis=-3
+    )
+
+
+def _rmul(p, r):
+    """Multiply a pair by a real field (broadcast over the pair axis)."""
+    return p * r[..., None, :, :]
+
 
 # Default forcing of the FNO NS benchmark: 0.1 (sin + cos)(2 pi (x + y)).
 def fno_forcing(n):
@@ -56,8 +198,8 @@ def _dealias_mask(n):
     return (jnp.abs(kx) <= cutoff) & (jnp.abs(ky) <= cutoff)
 
 
-def mcwilliams_vorticity_hat(key, n, k0=6.0, domain=2 * jnp.pi):
-    """McWilliams-84 random initial vorticity, returned in Fourier space."""
+def mcwilliams_vorticity_pair(key, n, k0=6.0, domain=2 * jnp.pi):
+    """McWilliams-84 random initial vorticity as a spectral re/im pair."""
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
     kmag = jnp.sqrt(k2)
     # |psi_k| ~ (k (1 + (k/k0)^4))^{-1/2}
@@ -67,17 +209,23 @@ def mcwilliams_vorticity_hat(key, n, k0=6.0, domain=2 * jnp.pi):
         0.0,
     )
     kr, ki = jax.random.split(key)
-    phase = jax.random.normal(kr, (n, n)) + 1j * jax.random.normal(ki, (n, n))
-    psi_hat = spectrum * phase
+    phase = jnp.stack(
+        [jax.random.normal(kr, (n, n)), jax.random.normal(ki, (n, n))]
+    )
+    psi_p = _rmul(phase, spectrum)
     # Hermitian-symmetrize so psi is real and u/v/w stay exactly consistent
-    psi_hat = jnp.fft.fft2(jnp.fft.ifft2(psi_hat).real)
+    psi_p = _fft2p_real(_ifft2p_re(psi_p))
     # normalize kinetic energy KE = 0.5 <|u|^2 + |v|^2> to 0.5
-    u = jnp.fft.ifft2(1j * ky * psi_hat).real
-    v = jnp.fft.ifft2(-1j * kx * psi_hat).real
+    u = _ifft2p_re(_imulk(psi_p, ky))
+    v = _ifft2p_re(_imulk(psi_p, -kx))
     ke = 0.5 * jnp.mean(u**2 + v**2)
-    psi_hat = psi_hat / jnp.sqrt(2 * ke)
-    w_hat = k2 * psi_hat  # w = -lap psi  ->  w_hat = k2 psi_hat
-    return w_hat
+    psi_p = psi_p / jnp.sqrt(2 * ke)
+    return _rmul(psi_p, k2)  # w = -lap psi  ->  w_hat = k2 psi_hat
+
+
+def mcwilliams_vorticity_hat(key, n, k0=6.0, domain=2 * jnp.pi):
+    """Complex-dtype convenience wrapper around the pair form."""
+    return _from_pair(mcwilliams_vorticity_pair(key, n, k0, domain))
 
 
 def gaussian_random_field_hat(key, n, alpha=2.5, tau=7.0):
@@ -91,17 +239,22 @@ def gaussian_random_field_hat(key, n, alpha=2.5, tau=7.0):
     too weak, leaving the flow in the near-linear regime -- the root cause
     of the implausibly easy round-1 synthetic NS data.)
     """
+    return _from_pair(gaussian_random_field_pair(key, n, alpha, tau))
+
+
+def gaussian_random_field_pair(key, n, alpha=2.5, tau=7.0):
+    """Pair-form FNO GRF (see ``gaussian_random_field_hat``)."""
     kx, ky, k2, _ = _wavenumbers(n, domain=1.0)
     # k2 = 4 pi^2 |k_int|^2: eigenvalues of -lap on the unit torus
     coef = (k2 + tau**2) ** (-alpha / 2.0)
     coef = coef * tau ** (alpha - 1) * np.sqrt(2.0) * n * n
+    coef = coef.at[0, 0].set(0.0)  # zero mean
     kr, ki = jax.random.split(key)
-    noise = jax.random.normal(kr, (n, n)) + 1j * jax.random.normal(ki, (n, n))
-    f_hat = coef * noise
-    # zero mean
-    f_hat = f_hat.at[0, 0].set(0.0)
-    f = jnp.fft.ifft2(f_hat).real
-    return jnp.fft.fft2(f)
+    noise = jnp.stack(
+        [jax.random.normal(kr, (n, n)), jax.random.normal(ki, (n, n))]
+    )
+    f_p = _rmul(noise, coef)
+    return _fft2p_real(_ifft2p_re(f_p))
 
 
 def spectral_downsample(fields, n_out):
@@ -118,15 +271,15 @@ def spectral_downsample(fields, n_out):
     if n_in == n_out:
         return fields
     h = n_out // 2
-    f_hat = jnp.fft.fft2(fields)
+    f_p = _fft2p_real(fields)
     corners = jnp.concatenate(
         [
-            jnp.concatenate([f_hat[..., :h, :h], f_hat[..., :h, -h:]], axis=-1),
-            jnp.concatenate([f_hat[..., -h:, :h], f_hat[..., -h:, -h:]], axis=-1),
+            jnp.concatenate([f_p[..., :h, :h], f_p[..., :h, -h:]], axis=-1),
+            jnp.concatenate([f_p[..., -h:, :h], f_p[..., -h:, -h:]], axis=-1),
         ],
         axis=-2,
     )
-    return jnp.fft.ifft2(corners).real * (n_out / n_in) ** 2
+    return _ifft2p_re(corners) * (n_out / n_in) ** 2
 
 
 def radial_energy_spectrum(w, domain=1.0):
@@ -137,7 +290,7 @@ def radial_energy_spectrum(w, domain=1.0):
     """
     n = w.shape[-1]
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
-    w_hat = jnp.fft.fft2(w)
+    w_hat = _fft2(w)
     # |u_hat|^2 = |k x psi_hat|^2 = k2 |psi_hat|^2 = |w_hat|^2 / k2
     e_density = jnp.where(k2 > 0, 0.5 * jnp.abs(w_hat) ** 2 / k2_safe, 0.0)
     e_density = e_density / n**4  # Parseval: mean KE = sum(e_density)
@@ -154,57 +307,78 @@ def enstrophy(w):
     return 0.5 * jnp.mean(w**2, axis=(-2, -1))
 
 
-def velocity_from_vorticity_hat(w_hat, domain=1.0):
-    """(u, v) physical fields from spectral vorticity via the streamfunction."""
-    n = w_hat.shape[-1]
+def velocity_from_vorticity_pair(w_p, domain=1.0):
+    """(u, v) physical fields from a spectral vorticity pair."""
+    n = w_p.shape[-1]
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
-    psi_hat = w_hat / k2_safe
-    psi_hat = psi_hat * (k2 > 0)
-    u = jnp.fft.ifft2(1j * ky * psi_hat).real
-    v = jnp.fft.ifft2(-1j * kx * psi_hat).real
+    psi_p = _rmul(w_p, jnp.where(k2 > 0, 1.0 / k2_safe, 0.0))
+    u = _ifft2p_re(_imulk(psi_p, ky))
+    v = _ifft2p_re(_imulk(psi_p, -kx))
     return u, v
 
 
-def _nonlinear_hat(w_hat, kx, ky, k2_safe, k2, mask):
-    """Dealiased spectral advection term -(u . grad w)."""
-    psi_hat = jnp.where(k2 > 0, w_hat / k2_safe, 0.0)
-    u = jnp.fft.ifft2(1j * ky * psi_hat).real
-    v = jnp.fft.ifft2(-1j * kx * psi_hat).real
-    wx = jnp.fft.ifft2(1j * kx * w_hat).real
-    wy = jnp.fft.ifft2(1j * ky * w_hat).real
+def velocity_from_vorticity_hat(w_hat, domain=1.0):
+    """Complex-dtype convenience wrapper around the pair form."""
+    return velocity_from_vorticity_pair(_to_pair(w_hat), domain)
+
+
+def _nonlinear_pair(w_p, kx, ky, k2_safe, k2, mask):
+    """Dealiased spectral advection term -(u . grad w), pair form."""
+    psi_p = _rmul(w_p, jnp.where(k2 > 0, 1.0 / k2_safe, 0.0))
+    u = _ifft2p_re(_imulk(psi_p, ky))
+    v = _ifft2p_re(_imulk(psi_p, -kx))
+    wx = _ifft2p_re(_imulk(w_p, kx))
+    wy = _ifft2p_re(_imulk(w_p, ky))
     adv = u * wx + v * wy
-    return -(mask * jnp.fft.fft2(adv))
+    return -_rmul(_fft2p_real(adv), mask.astype(jnp.float32))
+
+
+def _nonlinear_hat(w_hat, kx, ky, k2_safe, k2, mask):
+    """Complex-dtype wrapper kept for the physics unit tests."""
+    return _from_pair(
+        _nonlinear_pair(_to_pair(w_hat), kx, ky, k2_safe, k2, mask)
+    )
 
 
 @partial(jax.jit, static_argnums=(2, 3, 6))
-def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
-                       dt, nu, domain: float = 1.0):
-    """Integrate spectral vorticity; returns [n_records, n, n] physical snapshots.
-
-    Heun for advection + Crank-Nicolson for diffusion per substep; records a
-    physical-space snapshot every ``record_every`` substeps.
-    """
-    n = w_hat0.shape[-1]
+def simulate_vorticity_pair(w_p0, f_p, n_steps: int, record_every: int,
+                            dt, nu, domain: float = 1.0):
+    """Integrate a spectral vorticity pair; returns [n_records, n, n] physical
+    snapshots.  Heun for advection + Crank-Nicolson for diffusion per
+    substep; records a physical-space snapshot every ``record_every``
+    substeps.  Complex-free: runs on backends without complex arithmetic
+    (the DFTs are MXU matmuls on TPU)."""
+    n = w_p0.shape[-1]
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
     mask = _dealias_mask(n)
+    cn_num = 1.0 - 0.5 * dt * nu * k2
+    cn_den = 1.0 / (1.0 + 0.5 * dt * nu * k2)
 
-    def substep(w_hat, _):
-        nl1 = _nonlinear_hat(w_hat, kx, ky, k2_safe, k2, mask) + f_hat
-        denom = 1.0 + 0.5 * dt * nu * k2
-        w_mid = (w_hat * (1.0 - 0.5 * dt * nu * k2) + dt * nl1) / denom
-        nl2 = _nonlinear_hat(w_mid, kx, ky, k2_safe, k2, mask) + f_hat
-        w_new = (
-            w_hat * (1.0 - 0.5 * dt * nu * k2) + 0.5 * dt * (nl1 + nl2)
-        ) / denom
+    def substep(w_p, _):
+        nl1 = _nonlinear_pair(w_p, kx, ky, k2_safe, k2, mask) + f_p
+        w_mid = _rmul(_rmul(w_p, cn_num) + dt * nl1, cn_den)
+        nl2 = _nonlinear_pair(w_mid, kx, ky, k2_safe, k2, mask) + f_p
+        w_new = _rmul(
+            _rmul(w_p, cn_num) + 0.5 * dt * (nl1 + nl2), cn_den
+        )
         return w_new, None
 
-    def record_step(w_hat, _):
-        w_hat, _ = lax.scan(substep, w_hat, None, length=record_every)
-        return w_hat, jnp.fft.ifft2(w_hat).real
+    def record_step(w_p, _):
+        w_p, _ = lax.scan(substep, w_p, None, length=record_every)
+        return w_p, _ifft2p_re(w_p)
 
     n_records = n_steps // record_every
-    _, frames = lax.scan(record_step, w_hat0, None, length=n_records)
+    _, frames = lax.scan(record_step, w_p0, None, length=n_records)
     return frames
+
+
+def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
+                       dt, nu, domain: float = 1.0):
+    """Complex-dtype convenience wrapper around ``simulate_vorticity_pair``."""
+    return simulate_vorticity_pair(
+        _to_pair(w_hat0), _to_pair(f_hat), n_steps, record_every, dt, nu,
+        domain,
+    )
 
 
 def generate_vorticity_dataset(
@@ -220,17 +394,19 @@ def generate_vorticity_dataset(
     """
     sim_n = sim_n or n
     keys = jax.random.split(key, sims)
-    f_hat = (jnp.fft.fft2(fno_forcing(sim_n)) if forced
-             else jnp.zeros((sim_n, sim_n), jnp.complex64))
+    f_p = (_fft2p_real(fno_forcing(sim_n)) if forced
+           else jnp.zeros((2, sim_n, sim_n), jnp.float32))
     record_every = max(int(round(frame_dt / dt)), 1)
     n_steps = record_every * (frames + warmup_frames)
 
     def one(k):
         if init == "grf":
-            w0 = gaussian_random_field_hat(k, sim_n)
+            w0 = gaussian_random_field_pair(k, sim_n)
         else:
-            w0 = mcwilliams_vorticity_hat(k, sim_n)
-        traj = simulate_vorticity(w0, f_hat, n_steps, record_every, dt, nu)
+            w0 = mcwilliams_vorticity_pair(k, sim_n)
+        traj = simulate_vorticity_pair(
+            w0, f_p, n_steps, record_every, dt, nu
+        )
         return spectral_downsample(traj[warmup_frames:], n)
 
     batch = batch or sims
@@ -251,21 +427,20 @@ def generate_velocity_dataset(
     keys = jax.random.split(key, sims)
     nu = 1.0 / re
     domain = 2 * np.pi
-    f_hat = jnp.zeros((n, n), jnp.complex64)
+    f_p = jnp.zeros((2, n, n), jnp.float32)
     record_every = max(int(round(frame_dt / dt)), 1)
     n_steps = record_every * frames
 
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
 
     def one(k):
-        w0 = mcwilliams_vorticity_hat(k, n, domain=domain)
-        traj = simulate_vorticity(
-            w0, f_hat, n_steps, record_every, dt, nu, domain
+        w0 = mcwilliams_vorticity_pair(k, n, domain=domain)
+        traj = simulate_vorticity_pair(
+            w0, f_p, n_steps, record_every, dt, nu, domain
         )  # [frames, n, n]
 
         def to_uv(w):
-            w_hat = jnp.fft.fft2(w)
-            u, v = velocity_from_vorticity_hat(w_hat, domain)
+            u, v = velocity_from_vorticity_pair(_fft2p_real(w), domain)
             return jnp.stack([u, v], axis=-1)
 
         uv = jax.vmap(to_uv)(traj)  # [frames, n, n, 2]
