@@ -33,10 +33,13 @@ def main():
         print("already cached:", path)
         return
     t0 = time.time()
+    def progress(i, fr):
+        print(f"batch@{i} frame {fr} t={time.time()-t0:.0f}s", flush=True)
+
     u = generate_vorticity_dataset(
         jax.random.PRNGKey(42), sims, frames, n=64,
         nu=1e-5, dt=1e-4, frame_dt=1.0, warmup_frames=0,
-        sim_n=256, batch=10,
+        sim_n=256, batch=10, progress=progress,
     )
     print(f"generated {u.shape} in {time.time()-t0:.0f}s "
           f"std0={u[..., 0].std():.3f} stdT={u[..., -1].std():.3f}",

@@ -372,6 +372,30 @@ def simulate_vorticity_pair(w_p0, f_p, n_steps: int, record_every: int,
     return frames
 
 
+@partial(jax.jit, static_argnums=(2, 5))
+def advance_vorticity_pair(w_p, f_p, n_sub: int, dt, nu, domain: float = 1.0):
+    """Advance a (batched) spectral vorticity pair by n_sub substeps.
+
+    Host-side frame loops call this once per recorded frame: long
+    trajectories then run as many ~seconds-long dispatches instead of one
+    multi-minute one (the remote TPU transport kills overlong dispatches).
+    """
+    n = w_p.shape[-1]
+    kx, ky, k2, k2_safe = _wavenumbers(n, domain)
+    mask = _dealias_mask(n)
+    cn_num = 1.0 - 0.5 * dt * nu * k2
+    cn_den = 1.0 / (1.0 + 0.5 * dt * nu * k2)
+
+    def substep(w, _):
+        nl1 = _nonlinear_pair(w, kx, ky, k2_safe, k2, mask) + f_p
+        w_mid = _rmul(_rmul(w, cn_num) + dt * nl1, cn_den)
+        nl2 = _nonlinear_pair(w_mid, kx, ky, k2_safe, k2, mask) + f_p
+        return _rmul(_rmul(w, cn_num) + 0.5 * dt * (nl1 + nl2), cn_den), None
+
+    w_p, _ = lax.scan(substep, w_p, None, length=n_sub)
+    return w_p
+
+
 def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
                        dt, nu, domain: float = 1.0):
     """Complex-dtype convenience wrapper around ``simulate_vorticity_pair``."""
@@ -384,6 +408,7 @@ def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
 def generate_vorticity_dataset(
     key, sims, frames, n=64, nu=1e-5, dt=1e-3, frame_dt=1.0,
     init="grf", forced=True, warmup_frames=0, sim_n=None, batch=None,
+    progress=None,
 ):
     """FNO-benchmark-style dataset: [sims, n, n, frames] vorticity snapshots.
 
@@ -399,22 +424,31 @@ def generate_vorticity_dataset(
     record_every = max(int(round(frame_dt / dt)), 1)
     n_steps = record_every * (frames + warmup_frames)
 
-    def one(k):
-        if init == "grf":
-            w0 = gaussian_random_field_pair(k, sim_n)
-        else:
-            w0 = mcwilliams_vorticity_pair(k, sim_n)
-        traj = simulate_vorticity_pair(
-            w0, f_p, n_steps, record_every, dt, nu
-        )
-        return spectral_downsample(traj[warmup_frames:], n)
+    ic = (gaussian_random_field_pair if init == "grf"
+          else mcwilliams_vorticity_pair)
+    down = jax.jit(lambda w_p: spectral_downsample(_ifft2p_re(w_p), n))
 
     batch = batch or sims
     chunks = []
     for i in range(0, sims, batch):
-        chunks.append(jax.vmap(one)(keys[i:i + batch]))
-    frames_t = jnp.concatenate(chunks, 0)  # [sims, frames, n, n]
-    return np.asarray(frames_t.transpose(0, 2, 3, 1), dtype=np.float32)
+        w_p = jax.vmap(lambda k: ic(k, sim_n))(keys[i:i + batch])
+        frames_list = []
+        for fr in range(frames + warmup_frames):
+            # bounded ~1k-substep dispatches (the remote TPU transport hangs
+            # on multi-minute single dispatches)
+            left = record_every
+            while left > 0:
+                sub = min(left, 1000)
+                w_p = advance_vorticity_pair(w_p, f_p, sub, dt, nu)
+                left -= sub
+            if fr >= warmup_frames:
+                frames_list.append(np.asarray(down(w_p), np.float32))
+            if progress:
+                progress(i, fr)
+        chunks.append(np.stack(frames_list, axis=1))  # [b, frames, n, n]
+    frames_t = np.concatenate(chunks, 0)
+    return np.ascontiguousarray(
+        frames_t.transpose(0, 2, 3, 1).astype(np.float32))
 
 
 def generate_velocity_dataset(
