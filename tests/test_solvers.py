@@ -1,0 +1,77 @@
+"""Physics checks for the benchmark data solvers (solvers.py / panel.py)."""
+
+import numpy as np
+import pytest
+
+from transformerbasednavierstokesolver_tpu.data import solvers
+from transformerbasednavierstokesolver_tpu.data.panel import (
+    karman_trefftz_sample,
+)
+
+
+def test_pipe_straight_channel_is_poiseuille():
+    """With zero waviness the duct solve must reproduce the exact parabolic
+    profile u = G/2 * y (h - y) (G=8, h=channel width)."""
+    import jax.numpy as jnp
+
+    from transformerbasednavierstokesolver_tpu.data import fem
+
+    s1, s2 = 17, 65
+    t1 = np.linspace(0, 1, s1)
+    t2 = np.linspace(0, 1, s2)
+    U, V = np.meshgrid(t1, t2, indexing="ij")
+    h = 0.4
+    X = U * 10.0
+    Y = 0.5 + (V - 0.5) * h
+    fixed = jnp.zeros((s1, s2))
+    fixed = fixed.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    u = fem.solve_poisson(
+        jnp.asarray(np.stack([X, Y], -1)), fixed, jnp.zeros((s1, s2)),
+        source=8.0, tol=1e-9, maxiter=4000,
+    )
+    y = Y[0] - Y[0, 0]
+    exact = 8.0 / 2.0 * y * (h - y)
+    err = np.abs(np.asarray(u[s1 // 2]) - exact).max() / exact.max()
+    assert err < 2e-3, err
+
+
+def test_elasticity_stress_concentration():
+    """A void under remote tension concentrates stress: max von Mises on the
+    sampled points must exceed the far-field value (tension=100) by >1.5x,
+    and the far-field median must sit near 100."""
+    rng = np.random.default_rng(3)
+    xy, vm = solvers.elasticity_sample(rng, grid_s=40)
+    assert vm.max() > 150.0
+    assert 60.0 < np.median(vm) < 140.0
+    assert np.isfinite(vm).all()
+
+
+def test_plasticity_yield_bound_and_monotonicity():
+    """Deformation-theory J2: von Mises stress never exceeds the hardening
+    line sigma_y + H (eps - eps_y); displacement grows with load."""
+    rng = np.random.default_rng(5)
+    e_mod, eps_y, hard = 1.0, 0.02, 0.1
+    y, bc = solvers.plasticity_sample(
+        rng, s1=41, s2=13, n_steps=5, e_mod=e_mod, eps_y=eps_y, hard=hard
+    )
+    eps = y[..., 2]   # [s1, s2, T]
+    vm = y[..., 3]
+    cap = e_mod * eps_y + hard * e_mod * np.clip(eps - eps_y, 0, None)
+    cap = np.maximum(cap, e_mod * eps)  # elastic branch
+    assert (vm <= cap * 1.35 + 1e-4).all()  # nodal averaging slack
+    # compression depth grows monotonically with the load step
+    depth = -y[..., 1].min(axis=(0, 1))
+    assert (np.diff(depth) > 0).all()
+
+
+def test_airfoil_farfield_and_surface():
+    """Far-field Mach -> M_inf; surface has a stagnation point (M ~ 0) and a
+    suction peak above the freestream."""
+    rng = np.random.default_rng(7)
+    X, Y, M = karman_trefftz_sample(rng, mach_inf=0.4)
+    far = M[:, -1]
+    assert abs(far.mean() - 0.4) < 0.02
+    surf = M[:, 0]
+    assert surf.min() < 0.05       # stagnation
+    assert surf.max() > 0.45       # suction peak above M_inf
+    assert np.isfinite(M).all() and M.max() < 1.5
