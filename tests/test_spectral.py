@@ -24,6 +24,26 @@ def test_mcwilliams_kinetic_energy_normalized():
     assert ke == pytest.approx(0.5, rel=1e-3)
 
 
+def test_mcwilliams_spectrum_peaks_at_k0():
+    """The McWilliams-84 ensemble's energy spectrum E(k) ~ k / (1+(k/k0)^4)
+    peaks near k0 (the fork's 2D-Turbulence-Python initializer, k0=6):
+    statistical validation of the phiflow-replacement pipeline (SURVEY 2.6)."""
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        radial_energy_spectrum,
+    )
+
+    spec = None
+    for i in range(8):
+        w_hat = mcwilliams_vorticity_hat(
+            jax.random.PRNGKey(100 + i), 64, k0=6.0, domain=2 * np.pi
+        )
+        w = jnp.fft.ifft2(w_hat).real
+        k, E = radial_energy_spectrum(w, domain=2 * np.pi)
+        spec = E if spec is None else spec + E
+    kpk = int(np.asarray(k)[np.argmax(np.asarray(spec))])
+    assert 3 <= kpk <= 9, kpk
+
+
 def test_velocity_is_divergence_free():
     w_hat = mcwilliams_vorticity_hat(jax.random.PRNGKey(1), 64, domain=2 * np.pi)
     u, v = velocity_from_vorticity_hat(w_hat, domain=2 * np.pi)
