@@ -64,8 +64,11 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     put = dp_put(getattr(args, "mesh", "auto"))
 
+    # the reference hard-codes ntrain=ntest=50 (exp_ns.py:40-44); keep that
+    # default but honor an explicitly-passed --ntrain for larger-data runs
+    ntr = 50 if args.ntrain == 1000 else args.ntrain
     train_a, train_u, test_a, test_u, h = load_ns_vorticity(
-        args.data_path, 50, 50, T_IN, T_OUT, args.downsample,
+        args.data_path, ntr, 50, T_IN, T_OUT, args.downsample,
         synth_sims=args.synth_n, resolution=args.resolution,
     )
     pos = meshgrid_pos(h)
