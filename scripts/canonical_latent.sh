@@ -22,12 +22,12 @@ timeout 7200 python sequen_solver.py --variant merged \
 
 timeout 7200 python sequen_solver.py --variant original \
   --epochs 10 --synth_n 100 --sim_num 100 \
-  --encoder_path checkpoints/encoder_fno_ep20.ckpt \
+  --encoder_path sequential_checkpoints/encoder_fno_ep20.ckpt \
   --save_name sequen_orig_fno \
   > logs/sequen_orig.log 2>&1
 
 timeout 3600 python learn_slice.py --mode code --epochs 5 --synth_n 100 \
-  --encoder_path checkpoints/encoder_fno_ep20.ckpt \
+  --encoder_path sequential_checkpoints/encoder_fno_ep20.ckpt \
   --save_name slice_code_fno > logs/learn_slice.log 2>&1
 
 echo LATENT_DONE
