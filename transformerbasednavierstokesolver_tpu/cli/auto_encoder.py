@@ -19,7 +19,14 @@ from ..train.checkpoint import save_params
 from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
-from .common import dp_put, base_parser, count_parameters, epoch_batches, model_dtype
+from .common import (
+    MetricsLogger,
+    base_parser,
+    count_parameters,
+    dp_put,
+    epoch_batches,
+    model_dtype,
+)
 
 
 def build_argparser():
@@ -124,6 +131,7 @@ def main(argv=None):
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain_f)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(args.epochs):
         train_l = 0.0
@@ -131,9 +139,11 @@ def main(argv=None):
             x = put(pos.repeat(len(idx), 0))
             state, (loss, _) = update(state, x, put(train[idx]))
             train_l += float(loss)
+        test_l = evaluate(state.params)
+        metrics.log(ep, train_loss=train_l / ntrain_f, test_loss=test_l)
         print(
             f"Epoch {ep} , train_step_loss:{train_l / ntrain_f} , "
-            f"test_step_loss:{evaluate(state.params)}"
+            f"test_step_loss:{test_l}"
         )
         if ep % 100 == 0:
             print("save model")

@@ -19,6 +19,9 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import central_diff, rel_lp
 from .common import (
+    MetricsLogger,
+    maybe_resume,
+    save_state,
     dp_put,
     model_dtype,
     base_parser,
@@ -156,11 +159,15 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(rng, model, sample, tx)
+    state, start_step = maybe_resume(state, args)
+    steps_per_epoch = (ntrain + bsz - 1) // bsz
+    start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
     update = make_update_fn(make_loss_fn(ym, ys, s))
 
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    for ep in range(start_epoch, args.epochs):
         train_loss = reg = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             x = put(pos.repeat(len(idx), 0))
@@ -176,12 +183,16 @@ def main(argv=None):
         )
         rel_err = evaluate(state.params)
         print(f"rel_err:{rel_err}")
+        metrics.log(ep, train_loss=train_loss / ntrain, reg=reg / ntrain,
+                    rel_err=rel_err)
         if ep % 100 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(checkpoint_path(args.save_name), state.params, state.step)
+    save_state(state, args)
     return evaluate(state.params)
 
 
