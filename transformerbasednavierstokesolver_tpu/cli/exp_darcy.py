@@ -163,19 +163,68 @@ def main(argv=None):
     steps_per_epoch = (ntrain + bsz - 1) // bsz
     start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
-    update = make_update_fn(make_loss_fn(ym, ys, s))
+    loss_fn = make_loss_fn(ym, ys, s)
+    update = make_update_fn(loss_fn)
+
+    # one-dispatch epochs (see train.loop.make_epoch_fn): the canonical
+    # 1000-sample batch-4 config makes 250 dispatches/epoch otherwise,
+    # which the remote accelerator transport turns into minutes per epoch
+    import os as _os
+
+    scan_epochs = (
+        ntrain % bsz == 0 and ntest % bsz == 0
+        and jax.device_count() == 1
+        and _os.environ.get("TBNSS_EPOCH_SCAN", "1") == "1"
+    )
+    if scan_epochs:
+        from ..train.loop import make_epoch_fn, make_eval_fn
+
+        pos_d = jnp.asarray(pos)
+        fx_all = jnp.asarray(x_train_n)
+        y_all = jnp.asarray(y_train)
+        fxt_all = jnp.asarray(x_test_n)
+        yt_all = jnp.asarray(y_test)
+
+        def gather_train(idx):
+            xb = jnp.broadcast_to(
+                pos_d, (idx.shape[0],) + pos_d.shape[1:]
+            )
+            return xb, fx_all[idx], y_all[idx]
+
+        epoch_fn = make_epoch_fn(loss_fn, gather_train)
+        eval_total = make_eval_fn(
+            lambda p, x, fx, y: rel_lp(
+                predict(p, x, fx), y, reduction="sum"
+            ),
+            lambda idx: (
+                jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:]),
+                fxt_all[idx], yt_all[idx],
+            ),
+        )
+        eval_idx = jnp.arange(ntest).reshape(-1, bsz)
+
+        def evaluate(params):  # noqa: F811 -- scan-epoch variant
+            return float(eval_total(params, eval_idx)) / ntest
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
-        train_loss = reg = 0.0
-        for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = put(pos.repeat(len(idx), 0))
-            fx = put(x_train_n[idx])
-            y = put(y_train[idx])  # reference decodes target before the loss
-            state, (loss, aux) = update(state, x, fx, y)
-            train_loss += float(aux["l2"])
-            reg += float(aux["deriv"])
+        if scan_epochs:
+            idx_mat = jnp.asarray(
+                data_rng.permutation(ntrain).reshape(-1, bsz)
+            )
+            state, (_, auxs) = epoch_fn(state, idx_mat)
+            train_loss = float(auxs["l2"].sum())
+            reg = float(auxs["deriv"].sum())
+        else:
+            train_loss = reg = 0.0
+            for idx in epoch_batches(data_rng, ntrain, bsz):
+                x = put(pos.repeat(len(idx), 0))
+                fx = put(x_train_n[idx])
+                y = put(y_train[idx])  # reference decodes target before loss
+                state, (loss, aux) = update(state, x, fx, y)
+                train_loss += float(aux["l2"])
+                reg += float(aux["deriv"])
         print(
             "Epoch {} Reg : {:.5f} Train loss : {:.5f}".format(
                 ep, reg / ntrain, train_loss / ntrain

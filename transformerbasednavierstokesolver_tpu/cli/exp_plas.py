@@ -139,26 +139,69 @@ def main(argv=None):
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
+    # one-dispatch epochs over the (batch, permuted-time) update sequence:
+    # the reference's per-timestep backward (exp_plas.py:247-253) is
+    # steps*T tiny dispatches/epoch otherwise (see train.loop.make_epoch_fn)
+    import os as _os
+
+    scan_epochs = (
+        ntrain % bsz == 0 and jax.device_count() == 1
+        and _os.environ.get("TBNSS_EPOCH_SCAN", "1") == "1"
+    )
+    if scan_epochs:
+        from ..train.loop import make_epoch_fn
+
+        pos_d = jnp.asarray(pos)
+        fx_all = jnp.asarray(x_train)
+        y_all = jnp.asarray(y_train)
+        t_grid_d = jnp.asarray(t_grid)
+
+        def gather(carry):
+            idxb, pt = carry  # [bsz], [bsz]
+            xb = jnp.broadcast_to(pos_d, (idxb.shape[0],) + pos_d.shape[1:])
+            fxb = fx_all[idxb]
+            y_t = jnp.take_along_axis(
+                y_all[idxb], pt[:, None, None, None], axis=-1
+            )[..., 0]
+            tt = t_grid_d[pt][:, None]
+            return xb, fxb, y_t, tt
+
+        epoch_fn = make_epoch_fn(loss_fn, gather)
+
     data_rng = np.random.default_rng(args.seed)
     for ep in range(args.epochs):
-        train_step_l = 0.0
-        for idx in epoch_batches(data_rng, ntrain, bsz):
-            b = len(idx)
-            x = put(pos.repeat(b, 0))
-            fx = put(x_train[idx])
-            yy = y_train[idx]
-            # per-sample random time permutation (random_collate_fn parity)
-            perms = np.stack([data_rng.permutation(T) for _ in range(b)])
-            for t in range(T):
-                pt = perms[:, t]
-                y_t = np.take_along_axis(
-                    yy, pt[:, None, None, None], axis=-1
-                )[..., 0]
-                tt = put(t_grid[pt][:, None])
-                state, (loss, _) = update(
-                    state, x, fx, put(y_t), tt
-                )
-                train_step_l += float(loss)
+        if scan_epochs:
+            steps = ntrain // bsz
+            idx_mat = data_rng.permutation(ntrain).reshape(steps, bsz)
+            perms = np.stack(
+                [np.stack([data_rng.permutation(T) for _ in range(bsz)])
+                 for _ in range(steps)]
+            )  # [steps, bsz, T]
+            idx_rep = np.repeat(idx_mat[:, None, :], T, axis=1).reshape(-1, bsz)
+            pt_flat = perms.transpose(0, 2, 1).reshape(-1, bsz)
+            state, (losses, _) = epoch_fn(
+                state, (jnp.asarray(idx_rep), jnp.asarray(pt_flat))
+            )
+            train_step_l = float(losses.sum())
+        else:
+            train_step_l = 0.0
+            for idx in epoch_batches(data_rng, ntrain, bsz):
+                b = len(idx)
+                x = put(pos.repeat(b, 0))
+                fx = put(x_train[idx])
+                yy = y_train[idx]
+                # per-sample random time permutation (random_collate_fn parity)
+                perms = np.stack([data_rng.permutation(T) for _ in range(b)])
+                for t in range(T):
+                    pt = perms[:, t]
+                    y_t = np.take_along_axis(
+                        yy, pt[:, None, None, None], axis=-1
+                    )[..., 0]
+                    tt = put(t_grid[pt][:, None])
+                    state, (loss, _) = update(
+                        state, x, fx, put(y_t), tt
+                    )
+                    train_step_l += float(loss)
         ts, tf = evaluate(state.params)
         print(
             "Epoch {} , train_step_loss:{:.5f} , test_step_loss:{:.5f} , "

@@ -8,6 +8,8 @@ normalizers, geometry and schedule differ.  One jitted runner serves all
 three.
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -91,15 +93,50 @@ def run_steady(
     update = make_update_fn(loss_fn)
 
     put = dp_put(getattr(args, "mesh", "auto"))
+    # one-dispatch epochs when the splits tile evenly and fit on device
+    # (avoids per-minibatch dispatch latency; see train.loop.make_epoch_fn)
+    scan_epochs = (
+        ntrain % bsz == 0 and ntest % bsz == 0
+        and jax.device_count() == 1
+        and os.environ.get("TBNSS_EPOCH_SCAN", "1") == "1"
+    )
+    if scan_epochs:
+        from ..train.loop import make_epoch_fn, make_eval_fn
+
+        x_all = jnp.asarray(x_train)
+        y_all = jnp.asarray(y_train)
+        xt_all = jnp.asarray(x_test)
+        yt_all = jnp.asarray(y_test)
+        epoch_fn = make_epoch_fn(
+            loss_fn, lambda idx: (x_all[idx], y_all[idx])
+        )
+        eval_total = make_eval_fn(
+            lambda p, x, y: rel_lp(
+                predict(p, x), y, reduction="sum"
+            ),
+            lambda idx: (xt_all[idx], yt_all[idx]),
+        )
+        eval_idx = jnp.arange(ntest).reshape(-1, bsz)
+
+        def evaluate(params):  # noqa: F811 -- scan-epoch variant
+            return float(eval_total(params, eval_idx)) / ntest
+
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
-        train_loss = 0.0
-        for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = put(x_train[idx])
-            y = put(y_train[idx])
-            state, (loss, _) = update(state, x, y)
-            train_loss += float(loss)
+        if scan_epochs:
+            idx_mat = jnp.asarray(
+                data_rng.permutation(ntrain).reshape(-1, bsz)
+            )
+            state, (losses, _) = epoch_fn(state, idx_mat)
+            train_loss = float(losses.sum())
+        else:
+            train_loss = 0.0
+            for idx in epoch_batches(data_rng, ntrain, bsz):
+                x = put(x_train[idx])
+                y = put(y_train[idx])
+                state, (loss, _) = update(state, x, y)
+                train_loss += float(loss)
         print("Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain))
         rel_err = evaluate(state.params)
         metrics.log(ep, train_loss=train_loss / ntrain, rel_err=rel_err)

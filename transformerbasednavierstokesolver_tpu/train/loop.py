@@ -23,6 +23,48 @@ def create_train_state(rng, model, sample_args, tx, method=None):
     )
 
 
+def make_epoch_fn(loss_fn: Callable, gather: Callable, donate: bool = True,
+                  unroll: int = 1):
+    """One-dispatch training epoch: ``lax.scan`` of update steps over a
+    [steps, bsz] index matrix, minibatches gathered on device.
+
+    Remote-attached accelerators pay a fixed ~100ms+ round trip per
+    dispatch; the reference-style per-minibatch Python loop makes hundreds
+    of dispatches per epoch, so small benchmark configs run 10-50x slower
+    than the device time.  ``gather(idx) -> batch_tuple`` closes over the
+    device-resident dataset; ``loss_fn(params, apply_fn, *batch)`` is the
+    same task loss used with ``make_update_fn``.  Returns
+    ``epoch(state, idx_mat) -> (state, stacked_aux)``.
+    """
+
+    def epoch(state: TrainState, idx_mat):
+        def body(st, idx):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params, st.apply_fn, *gather(idx)
+            )
+            st = st.apply_gradients(grads=grads)
+            return st, (loss, aux)
+
+        state, stacked = jax.lax.scan(body, state, idx_mat, unroll=unroll)
+        return state, stacked
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_fn(metric_fn: Callable, gather: Callable):
+    """One-dispatch evaluation: scan ``metric_fn(params, *batch)`` (scalar
+    sum per batch) over a [steps, bsz] index matrix; returns the total."""
+
+    def evaluate(params, idx_mat):
+        def body(acc, idx):
+            return acc + metric_fn(params, *gather(idx)), None
+
+        total, _ = jax.lax.scan(body, 0.0, idx_mat)
+        return total
+
+    return jax.jit(evaluate)
+
+
 def make_update_fn(loss_fn: Callable, donate: bool = True):
     """Build ``update(state, *batch) -> (state, aux)`` with value_and_grad + jit.
 
