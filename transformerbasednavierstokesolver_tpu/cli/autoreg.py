@@ -98,19 +98,50 @@ def run_autoregressive(
     state, start_step = maybe_resume(state, args)
     start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
-    update = make_update_fn(make_teacher_forced_loss(step, remat=remat))
+    loss_fn = make_teacher_forced_loss(step, remat=remat)
+    update = make_update_fn(loss_fn)
+
+    # one-dispatch epochs when the split tiles evenly (remote-dispatch
+    # latency dominates the small canonical batches otherwise; see
+    # train.loop.make_epoch_fn)
+    import os as _os
+
+    scan_epochs = (
+        ntrain % bsz == 0 and jax.device_count() == 1
+        and _os.environ.get("TBNSS_EPOCH_SCAN", "1") == "1"
+    )
+    if scan_epochs:
+        from ..train.loop import make_epoch_fn
+
+        pos_d = jnp.asarray(pos)
+        a_all = jnp.asarray(train_a)
+        u_all = jnp.asarray(train_u)
+
+        def gather(idx):
+            xb = jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:])
+            return xb, a_all[idx], u_all[idx]
+
+        epoch_fn = make_epoch_fn(loss_fn, gather)
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
     for ep in range(start_epoch, args.epochs):
-        train_step_l = train_full_l = 0.0
-        for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = put(pos.repeat(len(idx), 0))
-            state, (loss, aux) = update(
-                state, x, put(train_a[idx]), put(train_u[idx])
+        if scan_epochs:
+            idx_mat = jnp.asarray(
+                data_rng.permutation(ntrain).reshape(-1, bsz)
             )
-            train_step_l += float(aux["step_loss"])
-            train_full_l += float(aux["full_loss"])
+            state, (_, auxs) = epoch_fn(state, idx_mat)
+            train_step_l = float(auxs["step_loss"].sum())
+            train_full_l = float(auxs["full_loss"].sum())
+        else:
+            train_step_l = train_full_l = 0.0
+            for idx in epoch_batches(data_rng, ntrain, bsz):
+                x = put(pos.repeat(len(idx), 0))
+                state, (loss, aux) = update(
+                    state, x, put(train_a[idx]), put(train_u[idx])
+                )
+                train_step_l += float(aux["step_loss"])
+                train_full_l += float(aux["full_loss"])
         test_step, test_full = evaluate(state.params)
         metrics.log(
             ep,
