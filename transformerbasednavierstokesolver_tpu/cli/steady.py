@@ -50,7 +50,9 @@ def run_steady(
     steps_per_epoch = (ntrain + bsz - 1) // bsz
     total = args.epochs * (1 if schedule_per_epoch else steps_per_epoch)
     tx = make_optimizer(
-        args.lr, total, args.weight_decay, args.max_grad_norm, schedule=schedule
+        args.lr, total, args.weight_decay, args.max_grad_norm,
+        schedule=schedule,
+        sched_divisor=steps_per_epoch if schedule_per_epoch else 1,
     )
 
     ym, ys = (0.0, 1.0) if y_stats is None else y_stats

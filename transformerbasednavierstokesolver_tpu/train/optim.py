@@ -89,8 +89,17 @@ def make_optimizer(
     pct_start: float = 0.3,
     cycle_momentum: bool = True,
     schedule: str = "onecycle",
+    sched_divisor: int = 1,
 ):
-    """AdamW + OneCycle (LR and beta1) + optional global-norm clipping."""
+    """AdamW + OneCycle (LR and beta1) + optional global-norm clipping.
+
+    ``sched_divisor``: schedule granularity in optimizer steps.  Torch
+    schedulers stepped once per *epoch* (the reference's CosineAnnealingLR
+    placement, ``exp_elas.py:178``) correspond to ``total_steps`` epochs
+    with ``sched_divisor = steps_per_epoch``.  (Round 1 passed total=epochs
+    with a per-update schedule index, so the LR decayed to ~0 within two
+    epochs and the elasticity benchmark silently froze.)
+    """
     if schedule == "onecycle":
         lr_sched = onecycle_lr(lr, total_steps, pct_start)
         b1 = (
@@ -107,10 +116,25 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 
+    if sched_divisor > 1:
+        lr_sched = _divide_schedule(lr_sched, sched_divisor)
+        if callable(b1):
+            b1 = _divide_schedule(b1, sched_divisor)
+
     opt = _adamw(lr_sched, b1, weight_decay)
     if max_grad_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
     return opt
+
+
+def _divide_schedule(sched, divisor):
+    if not callable(sched):
+        return sched
+
+    def wrapped(count):
+        return sched(count // divisor)
+
+    return wrapped
 
 
 def _adamw(lr_sched, b1, weight_decay):
