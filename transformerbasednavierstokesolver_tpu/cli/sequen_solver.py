@@ -234,22 +234,53 @@ def main(argv=None):
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     count_parameters(state.params)
 
+    gt_modes = {True, False} if args.variant == "original" else {False}
     update_cache = {
-        g: make_update_fn(make_loss(g), donate=False)
-        for g in ({True, False} if args.variant == "original" else {False})
+        g: make_update_fn(make_loss(g), donate=False) for g in gt_modes
     }
+    # one-dispatch epochs (train.loop.make_epoch_fn): the latent stack makes
+    # ntrain/bsz dispatches per epoch otherwise
+    import os as _os
+
+    scan_epochs = (
+        ntrain % bsz == 0 and jax.device_count() == 1
+        and _os.environ.get("TBNSS_EPOCH_SCAN", "1") == "1"
+    )
+    if scan_epochs:
+        from ..train.loop import make_epoch_fn
+
+        xf_d = jnp.asarray(x_feat)
+        a_all = jnp.asarray(train_a)
+        u_all = jnp.asarray(train_u)
+
+        def gather(idx):
+            xb = jnp.broadcast_to(xf_d, (idx.shape[0],) + xf_d.shape[1:])
+            return xb, a_all[idx], u_all[idx]
+
+        epoch_cache = {
+            g: make_epoch_fn(make_loss(g), gather, donate=False)
+            for g in gt_modes
+        }
     data_rng = np.random.default_rng(args.seed)
     for ep in range(args.epochs):
         use_gt = args.variant == "original" and ep < args.use_gt_epochs
-        update = update_cache[use_gt]
-        tr_s = tr_f = 0.0
-        for idx in epoch_batches(data_rng, ntrain, bsz):
-            x = put(x_feat.repeat(len(idx), 0))
-            state, (loss, aux) = update(
-                state, x, put(train_a[idx]), put(train_u[idx])
+        if scan_epochs:
+            idx_mat = jnp.asarray(
+                data_rng.permutation(ntrain).reshape(-1, bsz)
             )
-            tr_s += float(loss)
-            tr_f += float(aux["full"])
+            state, (losses, auxs) = epoch_cache[use_gt](state, idx_mat)
+            tr_s = float(losses.sum())
+            tr_f = float(auxs["full"].sum())
+        else:
+            update = update_cache[use_gt]
+            tr_s = tr_f = 0.0
+            for idx in epoch_batches(data_rng, ntrain, bsz):
+                x = put(x_feat.repeat(len(idx), 0))
+                state, (loss, aux) = update(
+                    state, x, put(train_a[idx]), put(train_u[idx])
+                )
+                tr_s += float(loss)
+                tr_f += float(aux["full"])
         ts, tf, tfirst = evaluate(state.params)
         print(
             "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
