@@ -82,12 +82,11 @@ def main():
     bsz = int(os.environ.get("BENCH_BATCH", "8"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
-    # default = the fused Pallas block megakernel (fastest verified config);
-    # on multi-chip hosts fall back to XLA: the mega custom calls carry no
-    # GSPMD partitioning rules yet, so under dp_put sharding XLA would have
-    # to replicate them.
-    default_impl = "mega" if len(jax.devices()) == 1 else "xla"
-    impl = os.environ.get("BENCH_IMPL", default_impl)
+    # default = the fused Pallas block megakernel (fastest verified config).
+    # Multi-chip: the mega path shard_maps itself over the registered
+    # ('data', 'space') mesh (ops/pallas_block.py sharded path), so it
+    # composes with dp_put sharding -- no XLA fallback needed.
+    impl = os.environ.get("BENCH_IMPL", "mega")
     model_kwargs = dict(
         space_dim=2,
         n_layers=int(os.environ.get("BENCH_LAYERS", "8")),

@@ -17,3 +17,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """The active-mesh registry (parallel.mesh) is process-global state set
+    by dp_put()/sharded tests; clear it so mesh-aware dispatch (the fused
+    block's `supported`) is not polluted across tests."""
+    yield
+    from transformerbasednavierstokesolver_tpu.parallel import set_active_mesh
+
+    set_active_mesh(None)

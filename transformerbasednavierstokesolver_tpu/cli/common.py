@@ -14,8 +14,33 @@ import numpy as np
 import jax
 
 
+class _RuntimeFlagsParser(argparse.ArgumentParser):
+    """ArgumentParser that applies cross-cutting runtime flags on parse.
+
+    Wires the observability facilities (utils/profiling.py) into every CLI
+    from one place: ``--profile DIR`` opens a ``jax.profiler`` trace for the
+    whole run (stopped atexit), and ``--nan_debug`` / ``TBNSS_NAN_DEBUG=1``
+    turns on ``jax_debug_nans``.  The reference has neither (SURVEY.md
+    section 5: print() is its only observability).
+    """
+
+    def parse_args(self, *a, **k):
+        args = super().parse_args(*a, **k)
+        from ..utils.profiling import enable_nan_debugging, start_trace
+
+        if getattr(args, "nan_debug", 0) or os.environ.get(
+            "TBNSS_NAN_DEBUG", ""
+        ) not in ("", "0"):
+            enable_nan_debugging(True)
+            print("NaN debugging enabled (jax_debug_nans)")
+        if getattr(args, "profile", None):
+            start_trace(args.profile)
+            print(f"profiler trace -> {args.profile}")
+        return args
+
+
 def base_parser(description="Training Transolver", **overrides):
-    p = argparse.ArgumentParser(description)
+    p = _RuntimeFlagsParser(description=description)
     d = dict(
         lr=1e-3,
         epochs=500,
@@ -76,6 +101,10 @@ def base_parser(description="Training Transolver", **overrides):
                         "or 'DxS' for an explicit data x space mesh")
     p.add_argument("--metrics_file", type=str, default=None,
                    help="append per-epoch metrics as JSON lines to this file")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace for the run to this dir")
+    p.add_argument("--nan_debug", type=int, default=0,
+                   help="enable jax_debug_nans (also TBNSS_NAN_DEBUG=1)")
     return p
 
 
@@ -207,9 +236,12 @@ def dp_put(mesh_arg="auto"):
     """
     import jax
 
+    from ..parallel import set_active_mesh
+
     if jax.device_count() <= 1 or mesh_arg == "off":
         import jax.numpy as jnp
 
+        set_active_mesh(None)
         return jnp.asarray
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -221,6 +253,7 @@ def dp_put(mesh_arg="auto"):
         mesh = make_mesh(int(d), int(s))
     else:
         mesh = make_mesh()
+    set_active_mesh(mesh)
     nd, ns = mesh.devices.shape
 
     def put(a):

@@ -99,17 +99,31 @@ def _ln_bwd(dv32, xhat, rs, scale):
     return rs * (dxhat - m1 - xhat * m2)
 
 
-def _halo_mask(j, R, W, Hrows):
-    """float32 [R+2, W+2, 1] mask: 1 on valid grid points, 0 on the conv halo.
+def _mask_from_rows(rm1, rm2, R, W):
+    """float32 [R+2, W+2, 1] conv-pad mask from row-validity block inputs.
 
-    Built as an f32 product (Mosaic cannot broadcast bools into the minor
-    dim): padded row p is valid iff 1 <= p <= H, padded col q iff 1 <= q <= W.
+    Row validity comes in as data (``_row_validity``) so the same kernels
+    serve the single-device case (rows 0 and H+1 invalid) and the
+    space-sharded case under shard_map (only the GLOBAL top/bottom rows are
+    invalid -- shard-boundary halo rows carry real neighbor data).  Columns
+    are always local: padded col q valid iff 1 <= q <= W.
     """
-    prow = j * R + jax.lax.broadcasted_iota(jnp.int32, (R + 2, W + 2, 1), 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (R + 2, W + 2, 1), 1)
-    rmask = ((prow >= 1) & (prow <= Hrows)).astype(jnp.float32)
+    rmask = jnp.concatenate([rm1, rm2[:2]], axis=0)[:, :1].reshape(R + 2, 1, 1)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, W + 2, 1), 1)
     cmask = ((pcol >= 1) & (pcol <= W)).astype(jnp.float32)
     return rmask * cmask
+
+
+def _row_validity(Hl, R, nb, row0, htot):
+    """[ (nb+1)*R, 128 ] f32: padded local row p valid iff the global padded
+    row ``row0 + p`` lies in [1, htot] (and p <= Hl+1; divisibility padding
+    beyond that is never read but kept invalid for safety)."""
+    p = jnp.arange((nb + 1) * R, dtype=jnp.int32)
+    gp = row0 + p
+    valid = (gp >= 1) & (gp <= htot) & (p <= Hl + 1)
+    return jnp.broadcast_to(
+        valid.astype(jnp.float32)[:, None], ((nb + 1) * R, 128)
+    )
 
 
 def _softmax_packed(logits32, invt, seg):
@@ -127,16 +141,17 @@ def _softmax_packed(logits32, invt, seg):
 # --------------------------------------------------------------------------
 
 
-def _front_kernel(x1_ref, x2_ref, g1_ref, b1_ref, kc_ref, cb_ref,
+def _front_kernel(x1_ref, x2_ref, rm1_ref, rm2_ref, g1_ref, b1_ref,
+                  kc_ref, cb_ref,
                   kexp_ref, bexp_ref, invt_ref, seg_ref,
                   w_ref, xf_ref, tok_ref, norm_ref,
-                  *, R, W, C, Hrows, cdt):
+                  *, R, W, C, cdt):
     """LN1 + merged 3x3 conv + packed slice softmax + token aggregation."""
     j = pl.program_id(1)
     # assemble the (R+2)-row halo block from two adjacent R-row blocks
     xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
     y, _, _ = _ln_fwd(xa, g1_ref[0], b1_ref[0])
-    y = (y * _halo_mask(j, R, W, Hrows)).astype(cdt)
+    y = (y * _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)).astype(cdt)
 
     acc = jnp.broadcast_to(cb_ref[0], (R * W, 2 * C)).astype(jnp.float32)
     for dy in range(3):
@@ -299,15 +314,16 @@ def _bwd_slice_kernel(xf_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
     dinvt_ref[0] += jnp.sum(dz * logits, axis=0, keepdims=True)
 
 
-def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, drdir_ref,
-                     g1_ref, b1_ref, kc_ref,
+def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, rm1_ref, rm2_ref,
+                     drdir_ref, g1_ref, b1_ref, kc_ref,
                      dtot_ref, dkc_ref, dg1_ref, db1_ref,
-                     *, R, W, C, Hrows, cdt):
+                     *, R, W, C, cdt):
     """Conv-transpose + dKc + LN1 backward (+ fold in the direct residual grad)."""
     j = pl.program_id(1)
     xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
     _, xhat, rs = _ln_fwd(xa, g1_ref[0], b1_ref[0])
-    y = ((xhat * g1_ref[0] + b1_ref[0]) * _halo_mask(j, R, W, Hrows)).astype(cdt)
+    y = ((xhat * g1_ref[0] + b1_ref[0])
+         * _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)).astype(cdt)
 
     da = jnp.concatenate([d1_ref[0], d2_ref[0, :2]], axis=0).astype(cdt)
     # dxf halo local coords: row ell <-> original dxf row (jR - 1 + ell)
@@ -396,12 +412,36 @@ def _interpret():
     return jax.default_backend() == "cpu"
 
 
-def _pad_rows(xg, R, nb):
-    """[B, H, W, C] -> [B, (nb+1)*R, W+2, C] with a 1-ring zero pad."""
+def _pad_rows(xg, R, nb, halo=None):
+    """[B, H, W, C] -> [B, (nb+1)*R, W+2, C] with a 1-ring zero pad.
+
+    ``halo``: optional (top, bottom) [B, 1, W, C] neighbor rows (space-sharded
+    shard_map path); they overwrite the zero pad rows at positions 0 and H+1.
+    """
     B, Hrows, W, C = xg.shape
-    return jnp.pad(
+    xp = jnp.pad(
         xg, ((0, 0), (1, (nb + 1) * R - Hrows - 1), (1, 1), (0, 0))
     )
+    if halo is not None:
+        top, bottom = halo
+        xp = xp.at[:, 0, 1:W + 1, :].set(top[:, 0].astype(xp.dtype))
+        xp = xp.at[:, Hrows + 1, 1:W + 1, :].set(bottom[:, 0].astype(xp.dtype))
+    return xp
+
+
+def _space_halo(xg, axis_name, size):
+    """(top, bottom) neighbor rows over the 'space' axis via ppermute.
+
+    Shards at the global boundary receive zeros (ppermute's fill), which is
+    exactly the conv's zero padding there.
+    """
+    top = jax.lax.ppermute(
+        xg[:, -1:], axis_name, [(i, i + 1) for i in range(size - 1)]
+    )
+    bottom = jax.lax.ppermute(
+        xg[:, :1], axis_name, [(i + 1, i) for i in range(size - 1)]
+    )
+    return top, bottom
 
 
 def _prep_packed(params, H, G, clamp):
@@ -415,15 +455,21 @@ def _prep_packed(params, H, G, clamp):
     return kexp, bexp, invt, seg
 
 
-def _front(xg, params, cfg):
-    """Run the front kernel; returns (w, xf, tok [B,H,G,D], norm [B,H,G])."""
+def _front(xg, params, cfg, row0=0, halo=None):
+    """Run the front kernel; returns (w, xf, tok_raw [B,HG,C], norm [B,1,HG]).
+
+    tok_raw/norm are UN-normalized partial sums over this call's N rows --
+    the caller psums them over the 'space' axis (sharded path) before the
+    tok / (norm+1e-5) normalization.
+    """
     B, Hrows, W, C = xg.shape
     heads, G, clamp, cdt = cfg.heads, cfg.G, cfg.clamp, cfg.cdt
     HG = heads * G
     R = cfg.R
     nb = Hrows // R
     N = Hrows * W
-    xp = _pad_rows(xg, R, nb)
+    xp = _pad_rows(xg, R, nb, halo)
+    rm = _row_validity(Hrows, R, nb, row0, cfg.htot)
     kexp, bexp, invt, seg = _prep_packed(params, heads, G, clamp)
     g1 = params["ln1_scale"].astype(jnp.float32).reshape(1, C)
     b1 = params["ln1_bias"].astype(jnp.float32).reshape(1, C)
@@ -433,11 +479,13 @@ def _front(xg, params, cfg):
     grid = (B, nb)
     bs = pl.BlockSpec
     w, xf, tok_p, norm = pl.pallas_call(
-        functools.partial(_front_kernel, R=R, W=W, C=C, Hrows=Hrows, cdt=cdt),
+        functools.partial(_front_kernel, R=R, W=W, C=C, cdt=cdt),
         grid=grid,
         in_specs=[
             bs((1, R, W + 2, C), lambda i, j: (i, j, 0, 0)),
             bs((1, R, W + 2, C), lambda i, j: (i, j + 1, 0, 0)),
+            bs((R, 128), lambda i, j: (j, 0)),
+            bs((R, 128), lambda i, j: (j + 1, 0)),
             bs((1, C), lambda i, j: (0, 0)),
             bs((1, C), lambda i, j: (0, 0)),
             bs((3, 3, C, 2 * C), lambda i, j: (0, 0, 0, 0)),
@@ -462,13 +510,18 @@ def _front(xg, params, cfg):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(xp, xp, g1, b1, kc, cb, kexp, bexp, invt, seg)
+    )(xp, xp, rm, rm, g1, b1, kc, cb, kexp, bexp, invt, seg)
+    return w, xf, tok_p, norm
 
+
+def _unpack_tokens(tok_p, norm, heads, G, C):
+    """Head-unpack the packed token sums and normalize by the slice norms."""
+    B = tok_p.shape[0]
     D = C // heads
     tok = jnp.einsum("bhghd->bhgd", tok_p.reshape(B, heads, G, heads, D))
     norm = norm.reshape(B, heads, G)
     tok = tok / (norm + 1e-5)[..., None]
-    return w, xf, tok, norm
+    return tok, norm
 
 
 def _back(w, fx, aexp, params, cfg):
@@ -509,9 +562,16 @@ def _back(w, fx, aexp, params, cfg):
 
 
 class _Cfg:
-    """Static kernel configuration (hashable for custom_vjp nondiff args)."""
+    """Static kernel configuration (hashable for custom_vjp nondiff args).
 
-    def __init__(self, grid_shape, heads, G, M, clamp, cdt, R, Rn):
+    ``grid_shape`` is the LOCAL (per-shard) grid; ``htot`` the GLOBAL row
+    count (== local rows single-device); ``data_axis``/``space_axis`` are
+    mesh axis names when running inside shard_map (None otherwise) and
+    ``space_size`` the 'space' axis extent.
+    """
+
+    def __init__(self, grid_shape, heads, G, M, clamp, cdt, R, Rn,
+                 htot=None, data_axis=None, space_axis=None, space_size=1):
         self.grid_shape = grid_shape
         self.heads = heads
         self.G = G
@@ -520,7 +580,12 @@ class _Cfg:
         self.cdt = cdt
         self.R = R
         self.Rn = Rn
-        self._key = (grid_shape, heads, G, M, clamp, str(cdt), R, Rn)
+        self.htot = grid_shape[0] if htot is None else htot
+        self.data_axis = data_axis
+        self.space_axis = space_axis
+        self.space_size = space_size
+        self._key = (grid_shape, heads, G, M, clamp, str(cdt), R, Rn,
+                     self.htot, data_axis, space_axis, space_size)
 
     def __hash__(self):
         return hash(self._key)
@@ -531,7 +596,11 @@ class _Cfg:
 
 def supported(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
               kernel_size=3, dropout_active=False):
-    """Whether the fused block kernel covers this configuration."""
+    """Whether the fused block kernel covers this configuration.
+
+    Consults the active ('data', 'space') mesh: under multi-chip sharding
+    the check applies to the PER-SHARD shapes the shard_map path will see.
+    """
     if dropout_active or kernel_size != 3 or len(grid_shape) != 2:
         return False
     B, N, C = fx_shape
@@ -543,11 +612,21 @@ def supported(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
     HG = heads * slice_num
     if C > 1024 or HG > 1024 or mlp_hidden > 2048:
         return False
+    mesh = _active_mesh()
+    if mesh is not None:
+        return _sharded_cfg(fx_shape, dtype, grid_shape, heads, slice_num,
+                            mlp_hidden, True, mesh) is not None
     if _pick_row_block(Hrows, W, C, HG) is None:
         return False
     if _pick_flat_block(N, C, HG, mlp_hidden) is None:
         return False
     return True
+
+
+def _active_mesh():
+    from ..parallel import active_mesh
+
+    return active_mesh()
 
 
 def _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden, clamp):
@@ -574,7 +653,15 @@ def _block_fwd_impl(fx, params, cfg):
     B, N, C = fx.shape
     Hrows, W = cfg.grid_shape
     xg = fx.reshape(B, Hrows, W, C)
-    w, xf, tok, norm = _front(xg, params, cfg)
+    if cfg.space_axis is not None:
+        row0 = jax.lax.axis_index(cfg.space_axis).astype(jnp.int32) * Hrows
+        halo = _space_halo(xg, cfg.space_axis, cfg.space_size)
+        w, xf, tok_p, norm = _front(xg, params, cfg, row0=row0, halo=halo)
+        # token sums / slice norms are partials over this shard's rows
+        tok_p, norm = jax.lax.psum((tok_p, norm), cfg.space_axis)
+    else:
+        w, xf, tok_p, norm = _front(xg, params, cfg)
+    tok, norm = _unpack_tokens(tok_p, norm, cfg.heads, cfg.G, C)
     otok = _attn(tok, params, C // cfg.heads)
     aexp = _blockdiag_tokens(otok.astype(jnp.float32))
     out = _back(w, fx, aexp, params, cfg)
@@ -693,16 +780,17 @@ def _bwd_slice(xf, dwd, dtrawexp, dsexp, params, cfg):
     )(xf, dwd, dtrawexp, dsexp, kexp, bexp, invt, seg)
 
 
-def _bwd_conv(fx, dxf, drdir, params, cfg):
+def _bwd_conv(fx, dxf, drdir, params, cfg, row0=0, halo_x=None, halo_d=None):
     B, N, C = fx.shape
     Hrows, W = cfg.grid_shape
     R = cfg.R
     nb = Hrows // R
     cdt = cfg.cdt
     xg = fx.reshape(B, Hrows, W, C)
-    xp = _pad_rows(xg, R, nb)
+    xp = _pad_rows(xg, R, nb, halo_x)
     dg = dxf.reshape(B, Hrows, W, 2 * C)
-    dp = _pad_rows(dg, R, nb)
+    dp = _pad_rows(dg, R, nb, halo_d)
+    rm = _row_validity(Hrows, R, nb, row0, cfg.htot)
     drg = drdir.reshape(B, Hrows, W, C)
     g1 = params["ln1_scale"].astype(jnp.float32).reshape(1, C)
     b1 = params["ln1_bias"].astype(jnp.float32).reshape(1, C)
@@ -710,13 +798,15 @@ def _bwd_conv(fx, dxf, drdir, params, cfg):
     grid = (B, nb)
     bs = pl.BlockSpec
     return pl.pallas_call(
-        functools.partial(_bwd_conv_kernel, R=R, W=W, C=C, Hrows=Hrows, cdt=cdt),
+        functools.partial(_bwd_conv_kernel, R=R, W=W, C=C, cdt=cdt),
         grid=grid,
         in_specs=[
             bs((1, R, W + 2, C), lambda i, j: (i, j, 0, 0)),
             bs((1, R, W + 2, C), lambda i, j: (i, j + 1, 0, 0)),
             bs((1, R, W + 2, 2 * C), lambda i, j: (i, j, 0, 0)),
             bs((1, R, W + 2, 2 * C), lambda i, j: (i, j + 1, 0, 0)),
+            bs((R, 128), lambda i, j: (j, 0)),
+            bs((R, 128), lambda i, j: (j + 1, 0)),
             bs((1, R, W, C), lambda i, j: (i, j, 0, 0)),
             bs((1, C), lambda i, j: (0, 0)),
             bs((1, C), lambda i, j: (0, 0)),
@@ -737,7 +827,7 @@ def _bwd_conv(fx, dxf, drdir, params, cfg):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(xp, xp, dp, dp, drg, g1, b1, kc)
+    )(xp, xp, dp, dp, rm, rm, drg, g1, b1, kc)
 
 
 def _fused_block_bwd(cfg, res, dout):
@@ -750,6 +840,11 @@ def _fused_block_bwd(cfg, res, dout):
 
     (drdir, dwd, daexp, dwo_b, dbo_b, dg2_b, db2_b,
      dw1_b, dbm1_b, dw2_b, dbm2_b) = _bwd_back(w, fx, aexp, dout, params, cfg)
+
+    if cfg.space_axis is not None:
+        # daexp is a partial sum over this shard's N rows; the attention
+        # backward below needs the full reduction
+        daexp = jax.lax.psum(daexp, cfg.space_axis)
 
     dotok = jnp.einsum("bhghd->bhgd", daexp.reshape(B, heads, G, heads, D))
     _, attn_vjp = jax.vjp(
@@ -767,7 +862,18 @@ def _fused_block_bwd(cfg, res, dout):
     dxf, dkexp_b, dbexp_b, dinvt_b = _bwd_slice(
         xf, dwd, dtrawexp, dsexp, params, cfg
     )
-    dtot, dkc_b, dg1_b, db1_b = _bwd_conv(fx, dxf, drdir, params, cfg)
+    if cfg.space_axis is not None:
+        Hrows, W = cfg.grid_shape
+        row0 = jax.lax.axis_index(cfg.space_axis).astype(jnp.int32) * Hrows
+        halo_x = _space_halo(
+            fx.reshape(B, Hrows, W, C), cfg.space_axis, cfg.space_size)
+        halo_d = _space_halo(
+            dxf.reshape(B, Hrows, W, 2 * C), cfg.space_axis, cfg.space_size)
+        dtot, dkc_b, dg1_b, db1_b = _bwd_conv(
+            fx, dxf, drdir, params, cfg,
+            row0=row0, halo_x=halo_x, halo_d=halo_d)
+    else:
+        dtot, dkc_b, dg1_b, db1_b = _bwd_conv(fx, dxf, drdir, params, cfg)
 
     dks = jnp.einsum("hdhg->dg", dkexp_b.sum(0).reshape(heads, D, heads, G))
     dbs = dbexp_b.sum(axis=(0, 1)).reshape(heads, G).sum(0)
@@ -799,11 +905,134 @@ def _fused_block_bwd(cfg, res, dout):
         "w2": dw2_b.sum(0).astype(p["w2"].dtype),
         "b2": dbm2_b.sum(axis=(0, 1)).astype(p["b2"].dtype),
     }
+    if cfg.data_axis is not None or cfg.space_axis is not None:
+        # replicate the parameter gradients across the mesh.  wq/wk/wv are
+        # already space-invariant (computed from the space-psummed daexp),
+        # so they only reduce over 'data'; everything else is a partial over
+        # both the local batch and the local N rows.
+        axes_all = tuple(a for a in (cfg.data_axis, cfg.space_axis) if a)
+        attn_keys = ("wq", "wk", "wv")
+        rest = jax.lax.psum(
+            {k: v for k, v in dparams.items() if k not in attn_keys}, axes_all
+        )
+        attn = {k: dparams[k] for k in attn_keys}
+        if cfg.data_axis is not None:
+            attn = jax.lax.psum(attn, cfg.data_axis)
+        dparams = {**rest, **attn}
     dtot = dtot.reshape(B, N, C).astype(fx.dtype)
     return dtot, dparams
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+# --------------------------------------------------------------------------
+# Multi-chip path: GSPMD has no partitioning rules for custom calls, so a
+# pallas_call under a sharded jit degrades to a fully-replicated all-gather.
+# Instead the fused block wraps itself in shard_map over the trainers'
+# ('data', 'space') mesh (parallel.mesh.active_mesh): batch over 'data',
+# grid rows over 'space', with explicit collectives -- ppermute conv-halo
+# rows, psum of the slice-token partials (fwd) / dAexp + parameter gradients
+# (bwd).  SURVEY 2.9-2.10; closes round-2 VERDICT gap 3 (bench.py's
+# multi-chip XLA fallback).
+# --------------------------------------------------------------------------
+
+
+def _mesh_factors(mesh):
+    if mesh is None:
+        return 1, 1
+    return mesh.shape.get("data", 1), mesh.shape.get("space", 1)
+
+
+def _smap(f, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def _sharded_cfg(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
+                 clamp, mesh):
+    """Per-shard _Cfg for the mesh, or None if shapes don't shard cleanly."""
+    d, s = _mesh_factors(mesh)
+    B, N, C = fx_shape
+    Hrows, W = grid_shape
+    if B % d or Hrows % s:
+        return None
+    Hl = Hrows // s
+    HG = heads * slice_num
+    R = _pick_row_block(Hl, W, C, HG)
+    Rn = _pick_flat_block(Hl * W, C, HG, mlp_hidden)
+    if R is None or Rn is None:
+        return None
+    return _Cfg(
+        (Hl, W), heads, slice_num, mlp_hidden, clamp,
+        jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32, R, Rn,
+        htot=Hrows,
+        data_axis="data" if d > 1 else None,
+        space_axis="space" if s > 1 else None,
+        space_size=s,
+    )
+
+
+_PSPEC_ARGS = None  # set lazily to avoid importing sharding at module import
+
+
+def _pspecs():
+    from jax.sharding import PartitionSpec as P
+
+    return P("data", "space", None), P("data"), P()
+
+
+def _sharded_fwd_parts(fx, params, cfg, mesh):
+    pspec, bspec, rspec = _pspecs()
+
+    def body(fx_l, params_r):
+        return _block_fwd_impl(fx_l, params_r, cfg)
+
+    out_specs = (pspec, (pspec, pspec, bspec, bspec, bspec))
+    return _smap(
+        body, mesh, in_specs=(pspec, rspec), out_specs=out_specs
+    )(fx, params)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_block_sharded(fx, params, cfg, mesh):
+    out, _ = _sharded_fwd_parts(fx, params, cfg, mesh)
+    return out
+
+
+def _fused_block_sharded_fwd(fx, params, cfg, mesh):
+    out, (w, xf, tok, norm, otok) = _sharded_fwd_parts(fx, params, cfg, mesh)
+    return out, (fx, params, w, xf, tok, norm, otok)
+
+
+def _fused_block_sharded_bwd(cfg, mesh, res, dout):
+    fx, params, w, xf, tok, norm, otok = res
+    pspec, bspec, rspec = _pspecs()
+
+    def body(fx_l, params_r, w_l, xf_l, tok_l, norm_l, otok_l, dout_l):
+        return _fused_block_bwd(
+            cfg, (fx_l, params_r, w_l, xf_l, tok_l, norm_l, otok_l), dout_l
+        )
+
+    dtot, dparams = _smap(
+        body, mesh,
+        in_specs=(pspec, rspec, pspec, pspec, bspec, bspec, bspec, pspec),
+        out_specs=(pspec, rspec),
+    )(fx, params, w, xf, tok, norm, otok, dout)
+    return dtot, dparams
+
+
+_fused_block_sharded.defvjp(_fused_block_sharded_fwd, _fused_block_sharded_bwd)
 
 
 def fused_transolver_block(fx, params, *, grid_shape, heads, slice_num,
@@ -816,6 +1045,14 @@ def fused_transolver_block(fx, params, *, grid_shape, heads, slice_num,
     wq/wk/wv [D,D], out_kernel [C,C], out_bias [C], ln2_scale/bias,
     w1 [C,M], b1 [M], w2 [M,C], b2 [C].
     """
+    mesh = _active_mesh()
+    if mesh is not None:
+        cfg = _sharded_cfg(
+            fx.shape, fx.dtype, grid_shape, heads, slice_num, mlp_hidden,
+            clamp_temperature, mesh,
+        )
+        if cfg is not None:
+            return _fused_block_sharded(fx, params, cfg, mesh)
     cfg = _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden,
                     clamp_temperature)
     return _fused_block(fx, params, cfg)

@@ -1,5 +1,7 @@
 from .mesh import (
     make_mesh,
+    set_active_mesh,
+    active_mesh,
     batch_pointcloud_spec,
     replicated_spec,
     shard_batch,
@@ -8,6 +10,8 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "set_active_mesh",
+    "active_mesh",
     "batch_pointcloud_spec",
     "replicated_spec",
     "shard_batch",
