@@ -38,3 +38,27 @@ def test_epoch_batches_covers_everything():
     rng = np.random.default_rng(0)
     seen = np.concatenate(list(epoch_batches(rng, 10, 3)))
     assert sorted(seen.tolist()) == list(range(10))
+
+
+def test_runtime_flags_profile_and_nan_debug(tmp_path, monkeypatch):
+    """--profile opens a jax.profiler trace; --nan_debug flips jax_debug_nans
+    (the observability wiring the reference lacks, SURVEY.md section 5)."""
+    from transformerbasednavierstokesolver_tpu.cli.common import base_parser
+    from transformerbasednavierstokesolver_tpu.utils import profiling
+
+    assert not jax.config.jax_debug_nans
+    args = base_parser("t").parse_args(
+        ["--profile", str(tmp_path / "prof"), "--nan_debug", "1"]
+    )
+    try:
+        assert jax.config.jax_debug_nans
+        assert profiling._TRACE_ACTIVE[0]
+        # something must actually be traced and written on stop
+        float(jnp.sum(jnp.ones((4, 4)) @ jnp.ones((4, 4))))
+    finally:
+        profiling.enable_nan_debugging(False)
+        jax.profiler.stop_trace()
+        profiling._TRACE_ACTIVE[0] = False
+    import glob
+
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)

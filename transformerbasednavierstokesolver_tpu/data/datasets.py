@@ -61,7 +61,10 @@ def _loadmat(path, keys):
 
         d = scio.loadmat(path)
         return {k: np.asarray(d[k]) for k in keys}
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # NotImplementedError: real MATLAB v7.3 (HDF5 + userblock);
+        # ValueError "Unknown mat file type": raw HDF5 without the MATLAB
+        # userblock (h5py-written caches) -- both go through the h5py path
         import h5py
 
         with h5py.File(path, "r") as f:

@@ -53,5 +53,26 @@ def trace(log_dir: str):
         yield
 
 
+_TRACE_ACTIVE = [False]
+
+
+def start_trace(log_dir: str):
+    """Whole-run profiler trace (cli/common.py ``--profile DIR``): started at
+    flag-parse time, stopped atexit so trainers need no per-loop changes."""
+    import atexit
+
+    if _TRACE_ACTIVE[0]:
+        return
+    jax.profiler.start_trace(log_dir)
+    _TRACE_ACTIVE[0] = True
+
+    def _stop():
+        if _TRACE_ACTIVE[0]:
+            jax.profiler.stop_trace()
+            _TRACE_ACTIVE[0] = False
+
+    atexit.register(_stop)
+
+
 def enable_nan_debugging(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
