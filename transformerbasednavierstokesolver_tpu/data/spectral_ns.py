@@ -43,13 +43,18 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _dft_mats(n):
+def _dft_mats_np(n):
     jk = np.outer(np.arange(n), np.arange(n))
     w = np.exp(-2j * np.pi * jk / n)
-    return (
-        jnp.asarray(w.real, jnp.float32),
-        jnp.asarray(w.imag, jnp.float32),
-    )
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+def _dft_mats(n):
+    # cache CONCRETE numpy, convert at the use site: caching jnp arrays
+    # would capture a tracer when first called under jit, which a later
+    # retrace (different batch shape) then picks up -> UnexpectedTracerError
+    wr, wi = _dft_mats_np(n)
+    return jnp.asarray(wr), jnp.asarray(wi)
 
 
 def _cmatmul(ar, ai, br, bi):
