@@ -120,7 +120,9 @@ def main():
     update = make_update_fn(
         make_teacher_forced_loss(
             step=1,
-            remat=os.environ.get("BENCH_REMAT", "1") == "1",
+            remat={"0": False, "1": True, "half": "half"}[
+                os.environ.get("BENCH_REMAT", "1")
+            ],
             unroll=int(os.environ.get("BENCH_UNROLL", "1")),
             track_full=os.environ.get("BENCH_TRACK_FULL", "1") == "1",
         ),

@@ -79,7 +79,7 @@ def test_remat_loss_grad_equivalence():
         return jnp.einsum("bnc,cd->bnd", fx_, variables["params"]["w"])
 
     params = {"w": w}
-    for remat in (False, True):
+    for remat in (False, True, "half"):
         loss_fn = make_teacher_forced_loss(1, remat=remat)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, apply_fn, x, fx, yy
@@ -89,5 +89,8 @@ def test_remat_loss_grad_equivalence():
             np.testing.assert_allclose(
                 np.asarray(grads["w"]), g0, rtol=1e-5
             )
+            np.testing.assert_allclose(np.asarray(aux["full_loss"]), full0,
+                                       rtol=1e-6)
         else:
             loss0, g0 = float(loss), np.asarray(grads["w"])
+            full0 = np.asarray(aux["full_loss"])

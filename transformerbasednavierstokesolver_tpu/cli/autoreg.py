@@ -31,6 +31,12 @@ def run_autoregressive(
     args, model, pos, train_a, train_u, test_a, test_u, T, step,
     remat=False,
 ):
+    # --remat (default on) overrides the caller's default: without it the
+    # flagship config (batch 8, hidden 256, T=10 BPTT) holds ~22 GB of
+    # activations and OOMs a 16 GB chip (docs/PERF.md)
+    remat = {"0": False, "1": True, "half": "half"}.get(
+        str(getattr(args, "remat", remat)), remat
+    )
     ntrain, ntest = train_a.shape[0], test_a.shape[0]
     t_in = train_a.shape[-1]
     n = train_a.shape[1]

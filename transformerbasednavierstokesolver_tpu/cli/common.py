@@ -101,6 +101,11 @@ def base_parser(description="Training Transolver", **overrides):
                         "or 'DxS' for an explicit data x space mesh")
     p.add_argument("--metrics_file", type=str, default=None,
                    help="append per-epoch metrics as JSON lines to this file")
+    p.add_argument("--remat", type=str, default="1", choices=["0", "1", "half"],
+                   help="BPTT activation policy: 1 = remat every rollout "
+                        "step (10x memory reduction), half = remat every "
+                        "other step (faster backward, ~half the no-remat "
+                        "memory), 0 = save everything")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace for the run to this dir")
     p.add_argument("--nan_debug", type=int, default=0,

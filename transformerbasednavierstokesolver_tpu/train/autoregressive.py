@@ -27,24 +27,51 @@ def _stack_preds(preds_tbnc):
     return preds_tbnc.transpose(1, 2, 0, 3).reshape(b, n, t * s)
 
 
-def _teacher_forced_scan(forward, x, fx, yy, step, unroll=1, track_full=True):
-    """Shared teacher-forced unroll body: returns (loss_sum, preds or None)."""
+def _teacher_forced_scan(forward, x, fx, yy, step, unroll=1, track_full=True,
+                         forward2=None):
+    """Shared teacher-forced unroll body: returns (loss_sum, preds or None).
+
+    ``forward2``: optional second forward applied to every other step.  Used
+    by the 'half' remat policy: steps through ``forward`` (rematted) recompute
+    their activations in the backward, steps through ``forward2`` (plain)
+    save theirs -- halving the backward's re-forward cost for ~half the
+    no-remat activation memory.
+    """
     T = yy.shape[-1]
     n_steps = T // step
     bsz = x.shape[0]
 
-    def body(carry, t):
-        fx_, loss = carry
+    def one(fwd, fx_, loss, t):
         y = lax.dynamic_slice_in_dim(yy, t, step, axis=-1)
-        im = forward(x, fx_)
+        im = fwd(x, fx_)
         loss = loss + rel_lp(
             im.reshape(bsz, -1), y.reshape(bsz, -1), reduction="sum"
         )
         fx_ = jnp.concatenate([fx_[..., step:], y], axis=-1)
-        return (fx_, loss), (im if track_full else None)
+        return fx_, loss, im
+
+    if forward2 is None:
+        def body(carry, t):
+            fx_, loss = carry
+            fx_, loss, im = one(forward, fx_, loss, t)
+            return (fx_, loss), (im if track_full else None)
+
+        (_, loss), preds = lax.scan(
+            body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
+        )
+        return loss, (_stack_preds(preds) if track_full else None)
+
+    assert n_steps % 2 == 0, "'half' remat needs an even number of steps"
+
+    def body2(carry, t):
+        fx_, loss = carry
+        fx_, loss, im1 = one(forward, fx_, loss, t)
+        fx_, loss, im2 = one(forward2, fx_, loss, t + step)
+        out = jnp.concatenate([im1, im2], axis=-1) if track_full else None
+        return (fx_, loss), out
 
     (_, loss), preds = lax.scan(
-        body, (fx, 0.0), jnp.arange(n_steps) * step, unroll=unroll
+        body2, (fx, 0.0), jnp.arange(n_steps // 2) * 2 * step, unroll=unroll
     )
     return loss, (_stack_preds(preds) if track_full else None)
 
@@ -71,13 +98,15 @@ def closed_loop_rollout(forward, x, fx, n_steps: int, step: int = 1):
     return _stack_preds(preds)
 
 
-def make_teacher_forced_loss(step: int = 1, remat: bool = False,
+def make_teacher_forced_loss(step: int = 1, remat=False,
                              unroll: int = 1, track_full: bool = True):
     """Loss for ``make_update_fn``: full teacher-forced scan under one grad.
 
-    ``remat=True`` rematerializes each rollout step's forward in the backward
-    pass (10x BPTT activation-memory reduction -- the HBM lever that lets the
-    flagship config train at full batch on a single chip).
+    ``remat``: ``True``/'step' rematerializes each rollout step's forward in
+    the backward pass (10x BPTT activation-memory reduction -- the HBM lever
+    that lets the flagship config train at full batch on a single chip);
+    ``'half'`` remats every other step (half the backward re-forward cost for
+    ~half the no-remat activation memory); falsy saves everything.
     ``track_full=False`` drops the stacked-predictions full-trajectory metric
     (loss-only scan carry -- less residual traffic when only the step loss is
     needed).
@@ -87,11 +116,16 @@ def make_teacher_forced_loss(step: int = 1, remat: bool = False,
         def forward(x_, fx_):
             return apply_fn({"params": params}, x_, fx_)
 
-        if remat:
+        forward2 = None
+        if remat == "half":
+            forward2 = forward
+            forward = jax.checkpoint(forward)
+        elif remat:
             forward = jax.checkpoint(forward)
 
         loss, pred = _teacher_forced_scan(
-            forward, x, fx, yy, step, unroll=unroll, track_full=track_full
+            forward, x, fx, yy, step, unroll=unroll, track_full=track_full,
+            forward2=forward2,
         )
         if pred is None:
             return loss, {"step_loss": loss, "full_loss": loss}
