@@ -18,6 +18,10 @@ def build_argparser():
     )
     p.add_argument("--downsamplex", type=int, default=1)
     p.add_argument("--downsampley", type=int, default=1)
+    p.add_argument("--surface_weight", type=float, default=1.0,
+                   help="extra TRAIN-loss weight on the near-surface radial "
+                        "rings (error concentrates there ~16x; eval metric "
+                        "unchanged). 1.0 = canonical unweighted loss")
     return p
 
 
@@ -70,9 +74,18 @@ def main(argv=None):
                 },
             )
 
+    loss_weight = None
+    if args.surface_weight != 1.0:
+        import numpy as np
+
+        # point index = theta * s2 + radial_ring (row-major over (s1, s2));
+        # weight decays from surface_weight at the wall to 1 by ~ring 15
+        ring = np.tile(np.arange(s2, dtype=np.float32), s1)
+        loss_weight = 1.0 + (args.surface_weight - 1.0) * np.exp(-ring / 5.0)
+
     return run_steady(
         args, model, x_train, y_train, x_test, y_test, geometry="grid2d",
-        eval_figures=eval_figures,
+        eval_figures=eval_figures, loss_weight=loss_weight,
     )
 
 

@@ -44,6 +44,7 @@ def run_steady(
     schedule="onecycle",
     schedule_per_epoch=False,
     eval_figures=None,  # callable(params, predict) for --eval figure dumps
+    loss_weight=None,  # [N] per-point TRAIN loss weights; eval metric unchanged
 ):
     ntrain, ntest = x_train.shape[0], x_test.shape[0]
     bsz = args.batch_size
@@ -57,10 +58,20 @@ def run_steady(
 
     ym, ys = (0.0, 1.0) if y_stats is None else y_stats
 
+    lw = None if loss_weight is None else jnp.asarray(loss_weight, jnp.float32)
+
     def loss_fn(params, apply_fn, x, y):
         out = apply_fn({"params": params}, x, None)[..., 0]
         out = out * ys + ym
-        return rel_lp(out, y, reduction="sum"), {}
+        if lw is None:
+            return rel_lp(out, y, reduction="sum"), {}
+        # weighted relative L2 (||w.(out-y)|| / ||w.y||): steers capacity
+        # toward the hard region (e.g. the airfoil near-surface band, where
+        # the error concentrates ~16x) without changing the eval metric
+        b = out.shape[0]
+        num = jnp.linalg.norm(((out - y) * lw).reshape(b, -1), axis=1)
+        den = jnp.linalg.norm((y * lw).reshape(b, -1), axis=1)
+        return jnp.sum(num / den), {}
 
     @jax.jit
     def predict(params, x):
