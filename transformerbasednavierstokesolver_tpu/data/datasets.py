@@ -170,7 +170,17 @@ def load_ns_vorticity(
                 )
             )
 
-        u = _cache(f"ns_v1e-5_{tag}s{sims}_t{T_in + T}_r{resolution}", build)["u"]
+        name = f"ns_v1e-5_{tag}s{sims}_t{T_in + T}_r{resolution}"
+        fno_name = f"ns_v1e-5_fno_s{sims}_t{T_in + T}_r{resolution}"
+        if regime != "fno" and os.path.exists(
+            os.path.join(_SYNTH_DIR, fno_name + ".npz")
+        ):
+            # A benchmark-regime dataset of the requested size already exists
+            # on disk; prefer it over regenerating easier 'fast'-regime data.
+            # (Without this, launching a canonical run minus the
+            # TBNSS_NS_REGIME=fno env silently burns hours regenerating.)
+            name = fno_name
+        u = _cache(name, build)["u"]
         # honor the requested split as long as train/test don't overlap
         # (round 2 clamped ntrain to sims//2, which silently halved the
         # benchmark's 1000/200 split even with enough sims generated)

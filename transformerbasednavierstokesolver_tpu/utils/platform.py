@@ -12,12 +12,36 @@ def select_platform(platform=None):
     """platform: None (leave as configured) | 'cpu' | 'tpu'/'axon'."""
     import jax
 
+    enable_compile_cache()
     platform = platform or os.environ.get("TBNSS_PLATFORM")
     if not platform:
         return
     if platform == "tpu":
         platform = "axon,cpu" if _has_axon() else "tpu,cpu"
     jax.config.update("jax_platforms", platform)
+
+
+def enable_compile_cache(path=None):
+    """Persist compiled executables across processes.
+
+    The canonical runs use a relaunch-on-hang watcher + ``--resume``; without
+    a persistent cache every relaunch repays the multi-minute XLA/Mosaic
+    compile.  Harmless if the backend cannot serialize executables (JAX just
+    skips caching).  Opt out with TBNSS_COMPILE_CACHE=0.
+    """
+    import jax
+
+    if os.environ.get("TBNSS_COMPILE_CACHE", "1") == "0":
+        return
+    path = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".jax_cache",
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 
 def _has_axon():
