@@ -166,7 +166,9 @@ def run_autoregressive(
                 test_full,
             )
         )
-        if ep % 100 == 0:
+        # reference saves every 100 epochs (exp_ns.py:248); save every 10 so
+        # the relaunch-on-hang watcher + --resume loses at most 10 epochs
+        if ep % 10 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
             save_state(state, args)

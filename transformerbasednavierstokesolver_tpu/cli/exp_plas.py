@@ -32,13 +32,21 @@ from .common import (
 
 
 def build_argparser():
-    return base_parser(
+    p = base_parser(
         "Training Transolver (Plasticity)",
         model="Transolver_Structured_Mesh_2D",
         save_name="plas_Transolver",
         ntrain=900,
         batch_size=8,
     )
+    p.add_argument(
+        "--channel_weighted", type=int, default=0,
+        help="train on the mean of per-channel rel-L2 instead of the "
+        "flattened rel-L2: the 4 output channels' scales differ ~7x in the "
+        "synthetic forging data, so the flattened loss underweights the "
+        "small-scale channels (eval metric unchanged, reference-exact)",
+    )
+    return p
 
 
 def main(argv=None):
@@ -97,6 +105,14 @@ def main(argv=None):
     def loss_fn(params, apply_fn, x, fx, y, tt):
         im = apply_fn({"params": params}, x, fx, tt)
         b = x.shape[0]
+        if args.channel_weighted:
+            c = im.shape[-1]
+            l = sum(
+                rel_lp(im[..., j].reshape(b, -1), y[..., j].reshape(b, -1),
+                       reduction="sum")
+                for j in range(c)
+            ) / c
+            return l, {}
         return rel_lp(im.reshape(b, -1), y.reshape(b, -1), reduction="sum"), {}
 
     @jax.jit
