@@ -63,8 +63,12 @@ def run_autoregressive(
         return step_loss, full, pred
 
     def evaluate(params):
+        # closed-loop rollout is forward-only, so eval can batch much wider
+        # than the training batch: fewer relay round-trips on 200-sim splits
+        ebsz = next(b for b in (64, 50, 40, 32, 25, 20, 16, 10, 8, 5, 4, 2, 1)
+                    if b <= ntest and ntest % b == 0) if ntest else bsz
         step_sum = full_sum = 0.0
-        for idx in epoch_batches(np.random.default_rng(0), ntest, bsz, shuffle=False):
+        for idx in epoch_batches(np.random.default_rng(0), ntest, ebsz, shuffle=False):
             x = jnp.asarray(pos.repeat(len(idx), 0))
             s, f, _ = eval_batch(
                 params, x, jnp.asarray(test_a[idx]), jnp.asarray(test_u[idx])
@@ -129,16 +133,32 @@ def run_autoregressive(
 
         epoch_fn = make_epoch_fn(loss_fn, gather)
 
+    # the relay transport hangs intermittently on single dispatches past
+    # ~1 min (CLAUDE.md); split benchmark-scale epochs into equal-shaped
+    # sub-dispatches of <= TBNSS_SCAN_CHUNK samples (equal shapes keep one
+    # compiled epoch_fn)
+    chunk_samples = int(_os.environ.get("TBNSS_SCAN_CHUNK", "256"))
+    if scan_epochs:
+        n_steps = ntrain // bsz
+        max_steps = max(1, chunk_samples // bsz)
+        steps_per_chunk = next(
+            (d for d in range(max_steps, 0, -1) if n_steps % d == 0), n_steps
+        )
+
+    eval_every = max(1, getattr(args, "eval_every", 1))
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
+    test_step = test_full = float("nan")
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
-            idx_mat = jnp.asarray(
-                data_rng.permutation(ntrain).reshape(-1, bsz)
-            )
-            state, (_, auxs) = epoch_fn(state, idx_mat)
-            train_step_l = float(auxs["step_loss"].sum())
-            train_full_l = float(auxs["full_loss"].sum())
+            idx_mat = data_rng.permutation(ntrain).reshape(-1, bsz)
+            train_step_l = train_full_l = 0.0
+            for c in range(0, n_steps, steps_per_chunk):
+                state, (_, auxs) = epoch_fn(
+                    state, jnp.asarray(idx_mat[c : c + steps_per_chunk])
+                )
+                train_step_l += float(auxs["step_loss"].sum())
+                train_full_l += float(auxs["full_loss"].sum())
         else:
             train_step_l = train_full_l = 0.0
             for idx in epoch_batches(data_rng, ntrain, bsz):
@@ -148,7 +168,8 @@ def run_autoregressive(
                 )
                 train_step_l += float(aux["step_loss"])
                 train_full_l += float(aux["full_loss"])
-        test_step, test_full = evaluate(state.params)
+        if ep % eval_every == 0 or ep == args.epochs - 1:
+            test_step, test_full = evaluate(state.params)
         metrics.log(
             ep,
             train_step_loss=train_step_l / ntrain / (T / step),

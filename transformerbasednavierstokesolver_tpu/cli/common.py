@@ -110,6 +110,11 @@ def base_parser(description="Training Transolver", **overrides):
                    help="write a jax.profiler trace for the run to this dir")
     p.add_argument("--nan_debug", type=int, default=0,
                    help="enable jax_debug_nans (also TBNSS_NAN_DEBUG=1)")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="run the test-set evaluation every N epochs (the "
+                        "reference evaluates every epoch, exp_ns.py:216-246; "
+                        "N>1 trades monitoring granularity for wall-clock on "
+                        "benchmark-scale splits)")
     return p
 
 
