@@ -127,9 +127,12 @@ def run_autoregressive(
         a_all = jnp.asarray(train_a)
         u_all = jnp.asarray(train_u)
 
-        def gather(idx):
-            xb = jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:])
-            return xb, a_all[idx], u_all[idx]
+        # dataset threads through as explicit jit args (NOT a closure):
+        # closed-over arrays become compile-payload constants and the
+        # relay rejects the 1000-sim split with HTTP 413 (train/loop.py)
+        def gather(idx, pos_c, a_c, u_c):
+            xb = jnp.broadcast_to(pos_c, (idx.shape[0],) + pos_c.shape[1:])
+            return xb, a_c[idx], u_c[idx]
 
         epoch_fn = make_epoch_fn(loss_fn, gather)
 
@@ -155,7 +158,8 @@ def run_autoregressive(
             train_step_l = train_full_l = 0.0
             for c in range(0, n_steps, steps_per_chunk):
                 state, (_, auxs) = epoch_fn(
-                    state, jnp.asarray(idx_mat[c : c + steps_per_chunk])
+                    state, jnp.asarray(idx_mat[c : c + steps_per_chunk]),
+                    pos_d, a_all, u_all,
                 )
                 train_step_l += float(auxs["step_loss"].sum())
                 train_full_l += float(auxs["full_loss"].sum())

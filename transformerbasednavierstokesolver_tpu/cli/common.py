@@ -36,6 +36,13 @@ class _RuntimeFlagsParser(argparse.ArgumentParser):
         if getattr(args, "profile", None):
             start_trace(args.profile)
             print(f"profiler trace -> {args.profile}")
+        if getattr(args, "impl", None) == "auto":
+            # the fused Pallas block is the fastest verified TPU config
+            # (bench.py; loss-curve agreement vs XLA in tests and
+            # logs/ns_agree_*.jsonl) and gates itself per block shape
+            # (models/transolver.py _use_mega -> pallas_block.supported),
+            # so 'auto' only has to pick the backend family
+            args.impl = "mega" if jax.default_backend() == "tpu" else "xla"
         return args
 
 
@@ -88,8 +95,10 @@ def base_parser(description="Training Transolver", **overrides):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synth_n", type=int, default=None,
                    help="synthetic-data sample count when benchmark files are absent")
-    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas", "mega"],
-                   help="physics-attention implementation")
+    p.add_argument("--impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "mega"],
+                   help="physics-attention implementation; auto = the fused "
+                        "Pallas block on TPU (per-shape gated), XLA elsewhere")
     p.add_argument("--precision", type=str, default=None,
                    help="jax matmul precision override (e.g. 'highest')")
     p.add_argument("--resume", type=int, default=0,

@@ -31,16 +31,23 @@ def make_epoch_fn(loss_fn: Callable, gather: Callable, donate: bool = True,
     Remote-attached accelerators pay a fixed ~100ms+ round trip per
     dispatch; the reference-style per-minibatch Python loop makes hundreds
     of dispatches per epoch, so small benchmark configs run 10-50x slower
-    than the device time.  ``gather(idx) -> batch_tuple`` closes over the
-    device-resident dataset; ``loss_fn(params, apply_fn, *batch)`` is the
-    same task loss used with ``make_update_fn``.  Returns
-    ``epoch(state, idx_mat) -> (state, stacked_aux)``.
+    than the device time.  ``gather(idx, *data) -> batch_tuple`` indexes
+    the device-resident dataset; ``loss_fn(params, apply_fn, *batch)`` is
+    the same task loss used with ``make_update_fn``.  Returns
+    ``epoch(state, idx_mat, *data) -> (state, stacked_aux)``.
+
+    Pass benchmark-scale dataset arrays through ``*data`` rather than
+    closing over them in ``gather``: closed-over device arrays are traced
+    as jit *constants* embedded in the compile payload, and the relay's
+    remote-compile endpoint rejects those programs (HTTP 413 at ~330 MB
+    for the 1000-sim NS split).  Explicit arguments stay device-resident
+    references.
     """
 
-    def epoch(state: TrainState, idx_mat):
+    def epoch(state: TrainState, idx_mat, *data):
         def body(st, idx):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, st.apply_fn, *gather(idx)
+                st.params, st.apply_fn, *gather(idx, *data)
             )
             st = st.apply_gradients(grads=grads)
             return st, (loss, aux)
@@ -55,9 +62,9 @@ def make_eval_fn(metric_fn: Callable, gather: Callable):
     """One-dispatch evaluation: scan ``metric_fn(params, *batch)`` (scalar
     sum per batch) over a [steps, bsz] index matrix; returns the total."""
 
-    def evaluate(params, idx_mat):
+    def evaluate(params, idx_mat, *data):
         def body(acc, idx):
-            return acc + metric_fn(params, *gather(idx)), None
+            return acc + metric_fn(params, *gather(idx, *data)), None
 
         total, _ = jax.lax.scan(body, 0.0, idx_mat)
         return total
