@@ -42,6 +42,18 @@ if [ "$(left)" -gt 300 ]; then
   echo "airfoil exit $?"
 fi
 
+# 3b. elasticity at 2x training data (CPU-generated during the round;
+#     train 0.009 vs test 0.0386 at 1000 sims is pure overfit gap)
+if [ -f data/synthetic/elas_fem_n2500.npz ] && [ "$(left)" -gt 300 ]; then
+  timeout $(( $(left) < 1200 ? $(left) : 1200 )) python exp_elas.py \
+    --model Transolver_Irregular_Mesh --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
+    --epochs 500 --ntrain 2000 --synth_n 2000 \
+    --metrics_file logs/elas_r3b.jsonl --save_name elas_r3b \
+    > logs/elas_r3b.log 2>&1
+  echo "elas2x exit $?"
+fi
+
 # 4. forward/backward ratio probe: anchors the MFU estimate's bwd~2x-fwd
 #    assumption (bench.py _per_step_flops) with measured step times
 if [ "$(left)" -gt 240 ]; then
@@ -49,9 +61,18 @@ if [ "$(left)" -gt 240 ]; then
   echo "ratio probe exit $?"
 fi
 
-# 5. record the round-3 bench number with the chip otherwise idle
+# 5. scan-unroll perf probe (VERDICT item 8: attack BPTT scan overhead)
+if [ "$(left)" -gt 600 ]; then
+  for u in 2 5; do
+    BENCH_UNROLL=$u timeout 600 python bench.py \
+      > "logs/bench_r3_unroll$u.json" 2>> logs/bench_r3_local.log
+    echo "unroll$u: $(cat logs/bench_r3_unroll$u.json)"
+  done
+fi
+
+# 6. record the round-3 bench number with the chip otherwise idle
 if [ "$(left)" -gt 180 ]; then
-  timeout 900 python bench.py > logs/bench_r3_local.json 2> logs/bench_r3_local.log
+  timeout 900 python bench.py > logs/bench_r3_local.json 2>> logs/bench_r3_local.log
   echo "bench exit $?"
   cat logs/bench_r3_local.json
 fi
