@@ -112,3 +112,9 @@ def test_supported_gates():
     assert not pallas_block.supported(
         (2, 256, 64), jnp.float32, (16, 16, 4), 4, 8, 128
     )
+    # prime row count (plasticity's 101x31) -> only R=1 divides H, and the
+    # halo kernels need R >= 2: must fall back to XLA rather than trace-fail
+    assert pallas_block._pick_row_block(101, 31, 128, 512) is None
+    assert not pallas_block.supported(
+        (8, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 128
+    )

@@ -377,7 +377,10 @@ def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
     the flagship shape).
     """
     best = None
-    for r in range(1, min(Hrows, 64) + 1):
+    # R=1 would make the two-row halo refs smaller than the window the
+    # conv/mask kernels slice from them (_mask_from_rows assumes R >= 2);
+    # prime row counts (plasticity's 101) therefore fall back to XLA
+    for r in range(2, min(Hrows, 64) + 1):
         if Hrows % r:
             continue
         halo = (r + 2) * (W + 2)
