@@ -20,36 +20,38 @@ echo "flagship chain done: $(date)"
 
 left() { echo $(( STOP - $(date +%s) )); }
 
+done_lines() { wc -l < "$1" 2>/dev/null || echo 0; }
+
 # 2. plasticity with per-channel loss (bar: <=0.004 from 0.0096)
-if [ "$(left)" -gt 300 ]; then
+if [ "$(done_lines logs/plas_r3.jsonl)" -lt 100 ] && [ "$(left)" -gt 300 ]; then
   timeout $(( $(left) < 1200 ? $(left) : 1200 )) python exp_plas.py \
     --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
     --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
     --epochs 100 --synth_n 200 --channel_weighted 1 \
-    --metrics_file logs/plas_r3.jsonl --save_name plas_r3 \
+    --resume 1 --metrics_file logs/plas_r3.jsonl --save_name plas_r3 \
     > logs/plas_r3.log 2>&1
   echo "plas exit $?"
 fi
 
 # 3. airfoil with surface-weighted train loss (bar: <=0.02 from 0.0461)
-if [ "$(left)" -gt 300 ]; then
+if [ "$(done_lines logs/airfoil_r3.jsonl)" -lt 150 ] && [ "$(left)" -gt 300 ]; then
   timeout $(( $(left) < 1800 ? $(left) : 1800 )) python exp_airfoil.py \
     --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
     --n-layers 8 --batch-size 4 --slice_num 64 --max_grad_norm 0.1 \
     --epochs 150 --synth_n 1000 --surface_weight 8 \
-    --metrics_file logs/airfoil_r3.jsonl --save_name airfoil_r3 \
+    --resume 1 --metrics_file logs/airfoil_r3.jsonl --save_name airfoil_r3 \
     > logs/airfoil_r3.log 2>&1
   echo "airfoil exit $?"
 fi
 
 # 3b. elasticity at 2x training data (CPU-generated during the round;
 #     train 0.009 vs test 0.0386 at 1000 sims is pure overfit gap)
-if [ -f data/synthetic/elas_fem_n2500.npz ] && [ "$(left)" -gt 300 ]; then
+if [ -f data/synthetic/elas_fem_n2500.npz ] && [ "$(done_lines logs/elas_r3b.jsonl)" -lt 500 ] && [ "$(left)" -gt 300 ]; then
   timeout $(( $(left) < 1200 ? $(left) : 1200 )) python exp_elas.py \
     --model Transolver_Irregular_Mesh --n-hidden 128 --n-heads 8 \
     --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
     --epochs 500 --ntrain 2000 --synth_n 2000 \
-    --metrics_file logs/elas_r3b.jsonl --save_name elas_r3b \
+    --resume 1 --metrics_file logs/elas_r3b.jsonl --save_name elas_r3b \
     > logs/elas_r3b.log 2>&1
   echo "elas2x exit $?"
 fi

@@ -1,17 +1,13 @@
-#!/usr/bin/env python
-"""Per-benchmark train-step throughput sweep (the non-flagship shapes).
+"""Train-step throughput across every benchmark grid, not just the NS
+flagship (VERDICT r2, Weak 7: "bench covers one shape").
 
-``bench.py`` tracks the NS flagship BPTT step; this sweep times one steady
-supervised train step (fwd+bwd+update) at every other benchmark's canonical
-shape and config (scripts/Transolver_*.sh), for both the XLA and fused
-Pallas (mega) paths where the shape qualifies, so "fast" is demonstrated
-beyond the single flagship workload (round-2 VERDICT weak #7).
+For each benchmark's canonical model shape this times the jitted
+teacher-forced (NS) or steady train step under impl=auto semantics (mega
+where `pallas_block.supported` covers the shape, XLA otherwise — printed
+per row) and the forced-XLA step for comparison.  One JSON line per shape.
 
-Shapes: Darcy 85x85 (downsample 5), Airfoil 221x51, Pipe 129x129,
-Plasticity 101x31, Elasticity 972-pt irregular cloud (batch 1, reference
-script), plus a 32^3 structured-3D probe.
-
-Run on the TPU: ``python tools/bench_shapes.py``.  One JSON line per row.
+Run on the TPU: ``python tools/bench_shapes.py`` (BENCH_STEPS, BENCH_DTYPE
+honored).  Reference configs: scripts/Transolver_*.sh.
 """
 
 import json
@@ -21,46 +17,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def time_step(model, sample_args, bsz, n_steps=None, extra=None):
-    n_steps = n_steps or int(os.environ.get("BENCH_SWEEP_STEPS", "10"))
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from transformerbasednavierstokesolver_tpu.train.loop import (
-        create_train_state,
-        make_update_fn,
-    )
-    from transformerbasednavierstokesolver_tpu.train.optim import make_optimizer
-    from transformerbasednavierstokesolver_tpu.utils.losses import rel_lp
-
-    rng = np.random.default_rng(0)
-    args = tuple(
-        jnp.asarray(rng.normal(size=(bsz,) + a.shape[1:]), jnp.float32)
-        for a in sample_args
-    )
-    y = jnp.asarray(rng.normal(size=args[0].shape[:2] + (1,)), jnp.float32)
-
-    def loss_fn(params, apply_fn, *batch):
-        *xs, yy = batch
-        im = apply_fn({"params": params}, *xs)
-        b = yy.shape[0]
-        return rel_lp(im.reshape(b, -1), yy.reshape(b, -1), reduction="sum"), {}
-
-    tx = make_optimizer(1e-3, 10000, 1e-5, None)
-    state = create_train_state(
-        jax.random.PRNGKey(0), model, tuple(a[:1] for a in args), tx
-    )
-    update = make_update_fn(loss_fn, donate=True)
-    state, (loss, _) = update(state, *args, y)
-    float(loss)  # sync (block_until_ready under-reports through the relay)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, (loss, _) = update(state, *args, y)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n_steps
-    return bsz / dt, dt
+# (name, grid H x W or None for irregular, n_hidden, heads, slice, mlp_ratio,
+#  fun_dim, out_dim, batch, rollout_T or 0 for steady)
+SHAPES = [
+    ("ns_64x64_T10", (64, 64), 256, 8, 32, 1, 10, 1, 8, 10),
+    ("darcy_85x85", (85, 85), 128, 8, 64, 1, 1, 1, 4, 0),
+    ("airfoil_221x51", (221, 51), 128, 8, 64, 1, 0, 1, 4, 0),
+    ("pipe_129x129", (129, 129), 128, 8, 64, 2, 0, 1, 8, 0),
+    ("plas_101x31_T20", (101, 31), 128, 8, 64, 1, 1, 4, 8, 0),
+    ("elas_irregular_972", None, 128, 8, 64, 1, 0, 1, 8, 0),
+]
 
 
 def main():
@@ -69,69 +35,96 @@ def main():
     )
 
     select_platform()
+
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from transformerbasednavierstokesolver_tpu.models import get_model
+    from transformerbasednavierstokesolver_tpu.models import Transolver
+    from transformerbasednavierstokesolver_tpu.ops import pallas_block
+    from transformerbasednavierstokesolver_tpu.train.autoregressive import (
+        make_teacher_forced_loss,
+    )
+    from transformerbasednavierstokesolver_tpu.train.loop import (
+        create_train_state,
+        make_update_fn,
+    )
+    from transformerbasednavierstokesolver_tpu.train.optim import make_optimizer
+    from transformerbasednavierstokesolver_tpu.utils.losses import rel_lp
 
-    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
-             else None)
-    impls = os.environ.get("BENCH_IMPLS", "xla,mega").split(",")
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    rng = np.random.default_rng(0)
 
-    common = dict(n_layers=8, n_head=8, dropout=0.0, mlp_ratio=1, ref=8,
-                  dtype=dtype)
-    cases = [
-        # (name, model_name, kwargs, (H, W[, D]), bsz, fun_dim)
-        ("darcy_85x85", "Transolver_Structured_Mesh_2D",
-         dict(n_hidden=128, slice_num=64, unified_pos=True), (85, 85), 4, 1),
-        ("airfoil_221x51", "Transolver_Structured_Mesh_2D",
-         dict(n_hidden=128, slice_num=64, unified_pos=False), (221, 51), 4, 0),
-        ("pipe_129x129", "Transolver_Structured_Mesh_2D",
-         dict(n_hidden=128, slice_num=64, unified_pos=False, mlp_ratio=2),
-         (129, 129), 8, 0),
-        ("plas_101x31", "Transolver_Structured_Mesh_2D",
-         dict(n_hidden=128, slice_num=64, unified_pos=False), (101, 31), 8, 1),
-        ("elas_972pt_irregular", "Transolver_Irregular_Mesh",
-         dict(n_hidden=128, slice_num=64, unified_pos=False), (972,), 1, 0),
-        ("ns3d_32cube", "Transolver_Structured_Mesh_3D",
-         dict(n_hidden=128, slice_num=32, unified_pos=False), (32, 32, 32),
-         2, 1),
-    ]
-
-    only = os.environ.get("BENCH_CASES")
-    if only:
-        cases = [c for c in cases if any(s in c[0] for s in only.split(","))]
-
-    for name, model_name, kw, shape, bsz, fun_dim in cases:
-        n = 1
-        for s in shape:
-            n *= s
-        for impl in impls:
-            if impl != "xla" and model_name != "Transolver_Structured_Mesh_2D":
-                continue  # fused block kernels cover the structured-2D path
-            kwargs = dict(common)
-            kwargs.update(kw)
-            kwargs.update(space_dim=len(shape) if len(shape) > 1 else 2,
-                          fun_dim=fun_dim, out_dim=1, impl=impl)
-            if model_name == "Transolver_Structured_Mesh_2D":
-                kwargs.update(H=shape[0], W=shape[1])
-            elif model_name == "Transolver_Structured_Mesh_3D":
-                kwargs.update(H=shape[0], W=shape[1], D=shape[2], space_dim=3)
+    for name, grid, hid, heads, slc, mlp_ratio, fun_dim, out_dim, bsz, T in SHAPES:
+        if grid is not None:
+            n = grid[0] * grid[1]
+            geometry = "grid2d"
+            gk = dict(H=grid[0], W=grid[1])
+        else:
+            n = 972
+            geometry = "irregular"
+            gk = {}
+        mega_ok = grid is not None and pallas_block.supported(
+            (bsz, n, hid), dtype, grid or (), heads, slc, hid * mlp_ratio
+        )
+        impl = "mega" if mega_ok else "xla"
+        row = {"shape": name, "impl_auto": impl, "batch": bsz}
+        for use_impl in dict.fromkeys((impl, "xla")):
+            model = Transolver(
+                impl=use_impl, space_dim=2,
+                n_layers=int(os.environ.get("BENCH_LAYERS", "8")),
+                n_hidden=hid,
+                n_head=heads, fun_dim=fun_dim, out_dim=out_dim,
+                slice_num=slc, mlp_ratio=mlp_ratio, ref=8,
+                unified_pos=(geometry == "grid2d"), geometry=geometry,
+                dtype=(jnp.bfloat16 if use_bf16 else None), **gk,
+            )
+            x = jnp.asarray(rng.normal(size=(bsz, n, 2)), jnp.float32)
+            fx = (jnp.asarray(rng.normal(size=(bsz, n, fun_dim)), jnp.float32)
+                  if fun_dim else None)
+            tx = make_optimizer(1e-3, 1000, 1e-5, None)
+            sample = (x[:1], fx[:1] if fx is not None else None)
             try:
-                model = get_model(model_name)(**kwargs)
-                sample = [jnp.zeros((1, n, kwargs["space_dim"]))]
-                if fun_dim:
-                    sample.append(jnp.zeros((1, n, fun_dim)))
-                sps, dt = time_step(model, sample, bsz)
-                print(json.dumps({
-                    "case": name, "impl": impl, "batch": bsz,
-                    "points": n, "ms_per_step": round(dt * 1e3, 2),
-                    "samples_per_sec": round(sps, 2),
-                }))
-            except Exception as e:  # report, keep sweeping
-                print(json.dumps({
-                    "case": name, "impl": impl,
-                    "error": f"{type(e).__name__}: {str(e)[:160]}",
-                }))
+                state = create_train_state(
+                    jax.random.PRNGKey(0), model, sample, tx
+                )
+                if T:  # autoregressive benchmark (NS)
+                    yy = jnp.asarray(
+                        rng.normal(size=(bsz, n, T)), jnp.float32
+                    )
+                    update = make_update_fn(
+                        make_teacher_forced_loss(step=1, remat=True),
+                        donate=False,
+                    )
+                    args = (x, fx, yy)
+                else:  # steady-state benchmarks
+                    y = jnp.asarray(
+                        rng.normal(size=(bsz, n, out_dim)), jnp.float32
+                    )
+
+                    def loss_fn(params, apply_fn, x_, fx_, y_):
+                        out = apply_fn({"params": params}, x_, fx_)
+                        return rel_lp(
+                            out.reshape(bsz, -1), y_.reshape(bsz, -1),
+                            reduction="sum",
+                        ), {}
+
+                    update = make_update_fn(loss_fn, donate=False)
+                    args = (x, fx, y)
+                state, (loss, _) = update(state, *args)
+                float(loss)  # compile+sync
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    state, (loss, _) = update(state, *args)
+                float(loss)
+                dt = (time.perf_counter() - t0) / n_steps
+                row[f"{use_impl}_ms"] = round(dt * 1e3, 2)
+                row[f"{use_impl}_samples_per_s"] = round(bsz / dt, 2)
+            except Exception as e:  # pragma: no cover - probe robustness
+                row[f"{use_impl}_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

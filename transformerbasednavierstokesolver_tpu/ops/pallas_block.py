@@ -26,9 +26,10 @@ tested in ``tests/test_pallas_block.py``.
 Layout notes (shared with ``pallas_attention_v2``): C = heads*dim_head lanes,
 HG = heads*slice_num packed lanes; per-head softmax via segment one-hots;
 block-diagonal expanded slice kernel / tokens.  The row-block size R must
-divide the grid height H (true for every benchmark grid: 64, 85, 129, 221,
-51, 101, 31); the conv halo is assembled from two adjacent row blocks, so no
-manual DMA is needed.
+be a divisor >= 2 of the grid height H (true for the NS/Darcy/Airfoil/Pipe
+grids: 64, 85, 221, 129; prime heights like plasticity's 101 fall back to
+the XLA block via ``supported``); the conv halo is assembled from two
+adjacent row blocks, so no manual DMA is needed.
 """
 
 import functools
