@@ -57,7 +57,10 @@ def main():
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     rng = np.random.default_rng(0)
 
-    for name, grid, hid, heads, slc, mlp_ratio, fun_dim, out_dim, bsz, T in SHAPES:
+    shapes = [s for s in SHAPES
+              if not sys.argv[1:] or any(a in s[0] for a in sys.argv[1:])]
+    for name, grid, hid, heads, slc, mlp_ratio, fun_dim, out_dim, bsz, T in shapes:
+        bsz = int(os.environ.get("BENCH_BATCH_OVERRIDE", bsz))
         if grid is not None:
             n = grid[0] * grid[1]
             geometry = "grid2d"
