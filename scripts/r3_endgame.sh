@@ -44,16 +44,16 @@ if [ "$(done_lines logs/airfoil_r3.jsonl)" -lt 150 ] && [ "$(left)" -gt 300 ]; t
   echo "airfoil exit $?"
 fi
 
-# 3b. elasticity at 2x training data (CPU-generated during the round;
+# 3b. elasticity at 4x training data (CPU-generated during the round;
 #     train 0.009 vs test 0.0386 at 1000 sims is pure overfit gap)
-if [ -f data/synthetic/elas_fem_n2500.npz ] && [ "$(done_lines logs/elas_r3b.jsonl)" -lt 500 ] && [ "$(left)" -gt 300 ]; then
-  timeout $(( $(left) < 1200 ? $(left) : 1200 )) python exp_elas.py \
+if [ -f data/synthetic/elas_fem_n5000.npz ] && [ "$(done_lines logs/elas_r3b.jsonl)" -lt 400 ] && [ "$(left)" -gt 300 ]; then
+  timeout $(( $(left) < 1500 ? $(left) : 1500 )) python exp_elas.py \
     --model Transolver_Irregular_Mesh --n-hidden 128 --n-heads 8 \
     --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
-    --epochs 500 --ntrain 2000 --synth_n 2000 \
+    --epochs 400 --ntrain 4000 --synth_n 4000 \
     --resume 1 --metrics_file logs/elas_r3b.jsonl --save_name elas_r3b \
     > logs/elas_r3b.log 2>&1
-  echo "elas2x exit $?"
+  echo "elas4x exit $?"
 fi
 
 # 4. forward/backward ratio probe: anchors the MFU estimate's bwd~2x-fwd
