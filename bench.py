@@ -64,6 +64,21 @@ def main():
     select_platform()  # honors TBNSS_PLATFORM=cpu for off-TPU smokes
 
     import jax
+
+    if not os.environ.get("TBNSS_PLATFORM"):
+        # the axon relay process can die mid-session (observed r3), and the
+        # plugin then HANGS device init rather than raising; probe it in a
+        # killable subprocess and fall back to CPU (marked in the record)
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, check=True, capture_output=True,
+            )
+        except Exception:
+            jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -159,6 +174,10 @@ def main():
         "value": round(samples_per_sec, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs, 4),
+        # which backend actually ran: the axon relay process can die
+        # (observed r3) and a silent CPU fallback would read as a ~50x
+        # perf regression without this field
+        "platform": jax.default_backend(),
     }
     if flops_per_step:
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
