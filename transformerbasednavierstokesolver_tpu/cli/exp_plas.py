@@ -21,6 +21,7 @@ from ..train.loop import create_train_state, make_update_fn
 from ..train.optim import make_optimizer
 from ..utils.losses import rel_lp
 from .common import (
+    MetricsLogger,
     dp_put,
     model_dtype,
     base_parser,
@@ -28,6 +29,8 @@ from .common import (
     count_parameters,
     epoch_batches,
     maybe_load_params,
+    maybe_resume,
+    save_state,
 )
 
 
@@ -152,6 +155,8 @@ def main(argv=None):
         return tf
 
     state = create_train_state(jax.random.PRNGKey(args.seed), model, sample, tx)
+    state, start_step = maybe_resume(state, args)
+    start_epoch = start_step // (steps_per_epoch * T)
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
@@ -172,20 +177,24 @@ def main(argv=None):
         y_all = jnp.asarray(y_train)
         t_grid_d = jnp.asarray(t_grid)
 
-        def gather(carry):
+        # dataset threads through as explicit jit args, not closures: the
+        # reference-scale y (900 x 3131 x 4 x 20 f32 ~ 900 MB) would blow
+        # the relay's ~300 MB compile-payload limit as a traced constant
+        def gather(carry, pos_c, fx_c, y_c, tg_c):
             idxb, pt = carry  # [bsz], [bsz]
-            xb = jnp.broadcast_to(pos_d, (idxb.shape[0],) + pos_d.shape[1:])
-            fxb = fx_all[idxb]
+            xb = jnp.broadcast_to(pos_c, (idxb.shape[0],) + pos_c.shape[1:])
+            fxb = fx_c[idxb]
             y_t = jnp.take_along_axis(
-                y_all[idxb], pt[:, None, None, None], axis=-1
+                y_c[idxb], pt[:, None, None, None], axis=-1
             )[..., 0]
-            tt = t_grid_d[pt][:, None]
+            tt = tg_c[pt][:, None]
             return xb, fxb, y_t, tt
 
         epoch_fn = make_epoch_fn(loss_fn, gather)
 
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             steps = ntrain // bsz
             idx_mat = data_rng.permutation(ntrain).reshape(steps, bsz)
@@ -196,7 +205,8 @@ def main(argv=None):
             idx_rep = np.repeat(idx_mat[:, None, :], T, axis=1).reshape(-1, bsz)
             pt_flat = perms.transpose(0, 2, 1).reshape(-1, bsz)
             state, (losses, _) = epoch_fn(
-                state, (jnp.asarray(idx_rep), jnp.asarray(pt_flat))
+                state, (jnp.asarray(idx_rep), jnp.asarray(pt_flat)),
+                pos_d, fx_all, y_all, t_grid_d,
             )
             train_step_l = float(losses.sum())
         else:
@@ -219,18 +229,28 @@ def main(argv=None):
                     )
                     train_step_l += float(loss)
         ts, tf = evaluate(state.params)
+        metrics.log(
+            ep,
+            train_step_loss=train_step_l / ntrain / T,
+            test_step_loss=ts,
+            test_full_loss=tf,
+        )
         print(
             "Epoch {} , train_step_loss:{:.5f} , test_step_loss:{:.5f} , "
             "test_full_loss:{:.5f}".format(
                 ep, train_step_l / ntrain / T, ts, tf
             )
         )
-        if ep % 100 == 0:
+        # reference saves every 100 (exp_plas.py:262); every 10 here so the
+        # relaunch-on-hang watcher + --resume loses at most 10 epochs
+        if ep % 10 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(checkpoint_path(args.save_name), state.params, state.step)
+    save_state(state, args)
     return evaluate(state.params)[1]
 
 
