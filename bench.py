@@ -94,14 +94,28 @@ def main():
     from transformerbasednavierstokesolver_tpu.utils.profiling import StepTimer
 
     h, t_in, t_out = 64, 10, 10
-    bsz = int(os.environ.get("BENCH_BATCH", "8"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # On CPU (explicit TBNSS_PLATFORM=cpu or the dead-relay fallback above)
+    # the mega default would run the Pallas kernels in INTERPRET mode
+    # (ops/pallas_block.py:_interpret) -- hours at flagship shape, which
+    # reads as a hang.  Default to the XLA impl and a 2-step measurement
+    # there instead; the record's "platform" field marks the downgrade.
+    on_cpu = jax.default_backend() == "cpu"
+    # The CPU fallback exists so a dead relay yields a valid JSON line
+    # instead of a hang; its value is NOT comparable to the TPU number
+    # either way ("platform" marks the downgrade).  This host has ONE
+    # 2.1 GHz core (~1 GFLOP/s measured): the flagship step is ~2.8
+    # TFLOP/sample, so shrink the whole config there, not just the batch.
+    bsz = int(os.environ.get("BENCH_BATCH") or ("2" if on_cpu else "8"))
+    n_steps = int(os.environ.get("BENCH_STEPS") or ("1" if on_cpu else "20"))
+    if on_cpu:
+        os.environ.setdefault("BENCH_LAYERS", "2")
+        os.environ.setdefault("BENCH_HIDDEN", "64")
 
     # default = the fused Pallas block megakernel (fastest verified config).
     # Multi-chip: the mega path shard_maps itself over the registered
     # ('data', 'space') mesh (ops/pallas_block.py sharded path), so it
     # composes with dp_put sharding -- no XLA fallback needed.
-    impl = os.environ.get("BENCH_IMPL", "mega")
+    impl = os.environ.get("BENCH_IMPL") or ("xla" if on_cpu else "mega")
     model_kwargs = dict(
         space_dim=2,
         n_layers=int(os.environ.get("BENCH_LAYERS", "8")),

@@ -265,20 +265,27 @@ def _bwd_back_kernel(w_ref, r_ref, aexp_ref, dout_ref,
     dbm2_ref[0] += jnp.sum(dout, axis=0, keepdims=True)
 
 
-def _bwd_slice_kernel(xf_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
-                      kexp_ref, bexp_ref, invt_ref, seg_ref,
+def _bwd_slice_kernel(xf_ref, w_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
+                      kexp_ref, invt_ref, seg_ref,
                       dxf_ref, dkexp_ref, dbexp_ref, dinvt_ref,
                       *, C, cdt):
-    """Backward through softmax/aggregation; emits dXF, accumulates slice grads."""
+    """Backward through softmax/aggregation; emits dXF, accumulates slice grads.
+
+    Reuses the slice weights ``w`` saved by the forward instead of
+    recomputing them from xf (saves the [Rn,C]x[C,HG] logits matmul + the
+    packed softmax per block-step).  The temperature gradient needs the
+    pre-softmax logits; those are recovered as log(w)/invt -- the dropped
+    per-row-per-segment softmax constant (max + log-denominator) cannot
+    contribute because dz has exactly zero segment-sums and only the
+    per-head lane-sum of dinvt is consumed host-side (_fused_block_bwd).
+    """
     j = pl.program_id(1)
     xf = xf_ref[0]
-    x_mid = xf[:, :C].astype(cdt)
+    x_mid = xf[:, :C]
     f_mid = xf[:, C:].astype(jnp.float32)
-    logits = jnp.dot(x_mid, kexp_ref[:].astype(cdt),
-                     preferred_element_type=jnp.float32) + bexp_ref[0]
     invt = invt_ref[0]
     seg = seg_ref[:]
-    w = _softmax_packed(logits, invt, seg)
+    w = w_ref[0].astype(jnp.float32)
 
     dtrawexp = dtrawexp_ref[0]
     dw = (
@@ -312,7 +319,19 @@ def _bwd_slice_kernel(xf_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
         preferred_element_type=jnp.float32,
     )
     dbexp_ref[0] += jnp.sum(dl, axis=0, keepdims=True)
-    dinvt_ref[0] += jnp.sum(dz * logits, axis=0, keepdims=True)
+    # logits == log(w)/invt up to the per-segment softmax constant (see
+    # docstring); guard log(0) -- dz is exactly 0 wherever w underflows.
+    # Center logw per row-segment before the reduction: the constant is in
+    # dz's null space so the value is unchanged, but removing the large
+    # common offset (log-denominator, magnitude ~10-70) keeps the
+    # near-cancelling row sum at the recompute path's f32 accuracy.
+    logw = jnp.log(jnp.maximum(w, 1e-30))
+    G = seg.shape[0] // seg.shape[1]
+    seg_mean = jnp.dot(
+        jnp.dot(logw, seg, preferred_element_type=jnp.float32) / G,
+        seg.T, preferred_element_type=jnp.float32)
+    dinvt_ref[0] += jnp.sum(dz * (logw - seg_mean), axis=0,
+                            keepdims=True) / invt
 
 
 def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, rm1_ref, rm2_ref,
@@ -745,12 +764,12 @@ def _bwd_back(w, fx, aexp, dout, params, cfg):
     return outs
 
 
-def _bwd_slice(xf, dwd, dtrawexp, dsexp, params, cfg):
+def _bwd_slice(xf, w, dwd, dtrawexp, dsexp, params, cfg):
     B, N, C2 = xf.shape
     C = C2 // 2
     HG = dtrawexp.shape[1]
     Rn, cdt = cfg.Rn, cfg.cdt
-    kexp, bexp, invt, seg = _prep_packed(params, cfg.heads, cfg.G, cfg.clamp)
+    kexp, _, invt, seg = _prep_packed(params, cfg.heads, cfg.G, cfg.clamp)
     grid = (B, N // Rn)
     bs = pl.BlockSpec
     return pl.pallas_call(
@@ -759,10 +778,10 @@ def _bwd_slice(xf, dwd, dtrawexp, dsexp, params, cfg):
         in_specs=[
             bs((1, Rn, 2 * C), lambda i, j: (i, j, 0)),
             bs((1, Rn, HG), lambda i, j: (i, j, 0)),
+            bs((1, Rn, HG), lambda i, j: (i, j, 0)),
             bs((1, HG, C), lambda i, j: (i, 0, 0)),
             bs((1, 1, HG), lambda i, j: (i, 0, 0)),
             bs((C, HG), lambda i, j: (0, 0)),
-            bs((1, HG), lambda i, j: (0, 0)),
             bs((1, HG), lambda i, j: (0, 0)),
             bs((HG, cfg.heads), lambda i, j: (0, 0)),
         ],
@@ -781,7 +800,7 @@ def _bwd_slice(xf, dwd, dtrawexp, dsexp, params, cfg):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(xf, dwd, dtrawexp, dsexp, kexp, bexp, invt, seg)
+    )(xf, w, dwd, dtrawexp, dsexp, kexp, invt, seg)
 
 
 def _bwd_conv(fx, dxf, drdir, params, cfg, row0=0, halo_x=None, halo_d=None):
@@ -864,7 +883,7 @@ def _fused_block_bwd(cfg, res, dout):
     dsexp = ds.reshape(B, 1, HG)
 
     dxf, dkexp_b, dbexp_b, dinvt_b = _bwd_slice(
-        xf, dwd, dtrawexp, dsexp, params, cfg
+        xf, w, dwd, dtrawexp, dsexp, params, cfg
     )
     if cfg.space_axis is not None:
         Hrows, W = cfg.grid_shape
