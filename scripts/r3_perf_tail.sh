@@ -26,6 +26,14 @@ if [ "$(left)" -gt 900 ]; then
   done
 fi
 
+# 2b. loss-only scan carry (PERF.md lever 1: drop the stacked-predictions
+#     full-trajectory metric from the train step)
+if [ ! -s logs/bench_r3_lossonly.json ] && [ "$(left)" -gt 600 ]; then
+  BENCH_TRACK_FULL=0 timeout 600 python bench.py \
+    > logs/bench_r3_lossonly.json 2>> logs/bench_r3_local.log
+  echo "lossonly: $(cat logs/bench_r3_lossonly.json)"
+fi
+
 # 3. multi-shape train-step bench (VERDICT weak 7: perf proven for one
 #    workload) -- all six benchmark grids, auto vs xla per row
 if [ ! -s logs/bench_shapes_r3.jsonl ] && [ "$(left)" -gt 1500 ]; then

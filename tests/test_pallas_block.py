@@ -101,6 +101,35 @@ def test_gradient_parity():
         assert _rel(gmp[key], gmp_ref[key]) < 1e-4, key
 
 
+def test_gradient_parity_bf16_temperature():
+    """bf16 compute stores ``w`` rounded to bf16; the backward recovers the
+    temperature gradient from log(w) (pallas_block._bwd_slice_kernel), so the
+    recovery must stay within bf16-level agreement of the f32 XLA gradient.
+    Guards the saved-w reuse against low-precision residuals specifically."""
+    H, W, C, heads, G = 16, 16, 64, 4, 8
+    block, variables, fx = _setup(H, W, C, heads, G)
+    mp = _extract_params(variables["params"])
+    ct = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, H * W, C)), jnp.float32
+    )
+
+    def loss_ref(tree):
+        return jnp.sum(block.apply({"params": tree}, fx) * ct)
+
+    def loss_mega(mp_):
+        out = pallas_block.fused_transolver_block(
+            fx.astype(jnp.bfloat16), mp_, grid_shape=(H, W), heads=heads,
+            slice_num=G, mlp_hidden=C * 2,
+        )
+        return jnp.sum(out.astype(jnp.float32) * ct)
+
+    gtree = jax.grad(loss_ref)(variables["params"])
+    gmp = jax.grad(loss_mega)(mp)
+    gt_ref = _extract_params(gtree)["temperature"]
+    # bf16 inputs/residuals: expect ~1e-2 relative agreement, not 1e-4
+    assert _rel(gmp["temperature"], gt_ref) < 5e-2
+
+
 def test_supported_gates():
     ok = pallas_block.supported((2, 256, 64), jnp.float32, (16, 16), 4, 8, 128)
     assert ok
