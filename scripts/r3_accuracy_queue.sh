@@ -14,6 +14,20 @@ export TBNSS_NS_REGIME=fno
 left() { echo $(( STOP - $(date +%s) )); }
 done_lines() { wc -l < "$1" 2>/dev/null || echo 0; }
 
+# 0. finish the darcy canonical 500-epoch OneCycle FIRST: cheapest run
+#    with the highest bar-closure value (~15-20 min; stopped at ep300 by
+#    round-2 wall clock, same schedule resumes exactly; published 500-ep
+#    bar 0.0057, we were 0.00715 at ep300)
+if [ "$(done_lines logs/darcy.jsonl)" -lt 500 ] && [ "$(left)" -gt 300 ]; then
+  timeout $(( $(left) < 2400 ? $(left) : 2400 )) python exp_darcy.py \
+    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 4 --slice_num 64 --unified_pos 1 --ref 8 \
+    --downsample 5 --max_grad_norm 0.1 --epochs 500 --ntrain 1000 \
+    --resume 1 --metrics_file logs/darcy.jsonl --save_name darcy_canonical \
+    > logs/darcy_r3.log 2>&1
+  echo "darcy500 exit $?"
+fi
+
 # 1. plasticity at the reference's 900-train scale with per-channel loss
 #    (bar: <=0.004 from 0.0096; cache built host-side by
 #    tools/gen_plas_chunked.py).  Falls back to the 200-sample resume when
@@ -72,6 +86,19 @@ if [ -f data/synthetic/elas_fem_n5000.npz ] && [ "$(done_lines logs/elas_r3b.jso
     --resume 1 --metrics_file logs/elas_r3b.jsonl --save_name elas_r3b \
     > logs/elas_r3b.log 2>&1
   echo "elas4x exit $?"
+fi
+
+# 5. pipe at the reference's 500-epoch schedule (fresh run: the 150-ep
+#    canonical completed its own OneCycle; published bar 0.0033, we were
+#    0.00444 at 150 -- ~14 s/epoch => ~2 h)
+if [ "$(done_lines logs/pipe500_r3.jsonl)" -lt 500 ] && [ "$(left)" -gt 1200 ]; then
+  timeout $(( $(left) < 7800 ? $(left) : 7800 )) python exp_pipe.py \
+    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
+    --mlp_ratio 2 --epochs 500 --synth_n 1000 \
+    --resume 1 --metrics_file logs/pipe500_r3.jsonl --save_name pipe500_r3 \
+    > logs/pipe500_r3.log 2>&1
+  echo "pipe500 exit $?"
 fi
 
 echo ACCURACY_QUEUE_DONE
