@@ -34,6 +34,14 @@ if [ ! -s logs/bench_r3_lossonly.json ] && [ "$(left)" -gt 600 ]; then
   echo "lossonly: $(cat logs/bench_r3_lossonly.json)"
 fi
 
+# 2c. half remat under mega: full remat measured 28.6, no-remat 27.8 --
+#     storing every other step's activations may beat both
+if [ ! -s logs/bench_r3_halfremat.json ] && [ "$(left)" -gt 600 ]; then
+  BENCH_REMAT=half timeout 600 python bench.py \
+    > logs/bench_r3_halfremat.json 2>> logs/bench_r3_local.log
+  echo "halfremat: $(cat logs/bench_r3_halfremat.json)"
+fi
+
 # 3. multi-shape train-step bench (VERDICT weak 7: perf proven for one
 #    workload) -- all six benchmark grids, auto vs xla per row
 if [ ! -s logs/bench_shapes_r3.jsonl ] && [ "$(left)" -gt 1500 ]; then
