@@ -19,24 +19,44 @@ mkdir -p logs
 export TBNSS_NS_REGIME=fno
 DEADLINE=$(( $(date +%s) + ${FLAGSHIP_BUDGET_S:-10800} ))
 
+# IMPL falls back to xla if mega makes zero epoch progress twice in a row
+# (the round-3 backward polish has CPU-interpret parity but has never met
+# the real Mosaic compiler; a trace failure must not burn the budget).
+IMPL=${FLAGSHIP_IMPL:-mega}
+zero_prog=0
 for attempt in $(seq 1 40); do
   left=$(( DEADLINE - $(date +%s) ))
   if [ "$left" -le 120 ]; then echo "FLAGSHIP_DEADLINE"; break; fi
-  timeout "$left" python exp_ns.py \
+  # per-attempt cap: a cold remote compile is <=15 min; an attempt that
+  # produces no epochs for 75 min is stuck, not compiling
+  cap=$(( left < 4500 ? left : 4500 ))
+  ep0=$(wc -l < logs/ns_flagship_r3.jsonl 2>/dev/null || echo 0)
+  timeout "$cap" python exp_ns.py \
     --model Transolver_Structured_Mesh_2D \
     --n-hidden 256 --n-heads 8 --n-layers 8 --lr 0.001 \
     --batch-size 2 --slice_num 32 --unified_pos 1 --ref 8 \
     --epochs 250 --ntrain 1000 --synth_n 1200 \
-    --impl mega --dtype bf16 --max_grad_norm 1.0 \
+    --impl "$IMPL" --dtype bf16 --max_grad_norm 1.0 \
     --eval_every 5 \
     --resume 1 --metrics_file logs/ns_flagship_r3.jsonl \
     --save_name ns_flagship_r3 \
     >> logs/ns_flagship_r3.log 2>&1
   code=$?
-  echo "attempt $attempt exit $code"
+  ep1=$(wc -l < logs/ns_flagship_r3.jsonl 2>/dev/null || echo 0)
+  echo "attempt $attempt impl=$IMPL exit $code epochs $ep0->$ep1"
   if [ $code -eq 0 ]; then
     echo FLAGSHIP_DONE
     break
+  fi
+  if [ "$ep1" -gt "$ep0" ]; then
+    zero_prog=0
+  else
+    zero_prog=$(( zero_prog + 1 ))
+    if [ "$zero_prog" -ge 2 ] && [ "$IMPL" = mega ]; then
+      echo "FLAGSHIP_IMPL_FALLBACK: mega made no progress twice; xla"
+      IMPL=xla
+      zero_prog=0
+    fi
   fi
 done
 

@@ -56,4 +56,12 @@ if [ "$(left)" -gt 180 ]; then
   cat logs/bench_r3_local.json
 fi
 
+# 5. surplus chip time: extend the NS cache toward 2000 sims (round-4 prep;
+#    deadline-guarded per chunk, resumes from banked chunks next round)
+if [ "$(left)" -gt 2400 ]; then
+  timeout "$(left)" python scripts/gen_ns_fno_ext.py --sims 2000 \
+    --deadline_ts "$STOP" >> logs/gen_ns_2000.log 2>&1
+  echo "ns-ext exit $?"
+fi
+
 echo PERF_TAIL_DONE

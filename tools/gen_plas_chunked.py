@@ -76,13 +76,22 @@ def main():
         start += m
         k += 1
 
+    if os.path.exists(final):  # a concurrent invocation won the assembly race
+        print(f"cache already built: {final}")
+        return
     x = np.concatenate([np.load(q)["x"] for q in parts])
     y = np.concatenate([np.load(q)["y"] for q in parts])
     tmp = final + ".tmp.npz"
     np.savez_compressed(tmp, x=x, y=y)
-    os.replace(tmp, final)
+    try:
+        os.replace(tmp, final)
+    except FileNotFoundError:
+        # two invocations raced on the shared tmp name; fine iff one landed
+        if not os.path.exists(final):
+            raise
     for q in parts:
-        os.remove(q)
+        if os.path.exists(q):
+            os.remove(q)
     print(f"built {final}  x{x.shape} y{y.shape}")
 
 
