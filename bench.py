@@ -65,20 +65,13 @@ def main():
 
     import jax
 
-    if not os.environ.get("TBNSS_PLATFORM"):
-        # the axon relay process can die mid-session (observed r3), and the
-        # plugin then HANGS device init rather than raising; probe it in a
-        # killable subprocess and fall back to CPU (marked in the record)
-        import subprocess
-        import sys
+    from transformerbasednavierstokesolver_tpu.utils.platform import (
+        cpu_fallback_if_relay_dead,
+    )
 
-        try:
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=120, check=True, capture_output=True,
-            )
-        except Exception:
-            jax.config.update("jax_platforms", "cpu")
+    # a dead relay HANGS device init; the shared probe pins CPU instead
+    # (the downgrade is visible via the record's "platform" field)
+    cpu_fallback_if_relay_dead()
     import jax.numpy as jnp
     import numpy as np
 
@@ -149,9 +142,11 @@ def main():
     update = make_update_fn(
         make_teacher_forced_loss(
             step=1,
-            remat={"0": False, "1": True, "half": "half"}[
-                os.environ.get("BENCH_REMAT", "1")
-            ],
+            # unknown values mean False (pre-'half' semantics of != "1"),
+            # not a KeyError that kills the bench before its JSON line
+            remat={"0": False, "1": True, "half": "half"}.get(
+                os.environ.get("BENCH_REMAT", "1"), False
+            ),
             unroll=int(os.environ.get("BENCH_UNROLL", "1")),
             track_full=os.environ.get("BENCH_TRACK_FULL", "1") == "1",
         ),

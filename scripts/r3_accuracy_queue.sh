@@ -101,4 +101,18 @@ if [ "$(done_lines logs/pipe500_r3.jsonl)" -lt 500 ] && [ "$(left)" -gt 1200 ]; 
   echo "pipe500 exit $?"
 fi
 
+# 6. AE retrain on the FIXED split (the round-3 clamp bug evaluated the
+#    0.0041 headline on a single sim; datasets.py now clamps to 80/20, so
+#    this run yields a trained-on-80 / tested-on-20-unseen-sims number)
+if [ ! -f logs/auto_encoder_v2.done ] && [ "$(left)" -gt 900 ]; then
+  timeout $(( $(left) < 3600 ? $(left) : 3600 )) python auto_encoder.py \
+    --n-hidden 32 --n-heads 1 --n-layers 8 --slice_num 16 --unified_pos 1 \
+    --batch-size 16 --epochs 80 --synth_n 100 \
+    --resume 1 --metrics_file logs/auto_encoder_v2.jsonl \
+    --save_name encoder_fno_v2 \
+    > logs/auto_encoder_v2.log 2>&1 \
+    && touch logs/auto_encoder_v2.done
+  echo "ae_v2 exit $?"
+fi
+
 echo ACCURACY_QUEUE_DONE

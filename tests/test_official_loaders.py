@@ -135,3 +135,33 @@ def test_elasticity_official_npy(tmp_path):
     np.testing.assert_allclose(tr_s[3], sigma[:, 3], rtol=1e-6)
     np.testing.assert_allclose(tr_xy[1], xy[:, :, 1], rtol=1e-6)
     np.testing.assert_allclose(te_xy[-1], xy[:, :, -1], rtol=1e-6)
+
+
+def test_ns_synth_split_overflow_preserves_test(tmp_path, monkeypatch):
+    # Regression: the round-3 clamp preferred train and collapsed ntest to 1
+    # sim whenever ntrain >= sims (auto_encoder --ntrain 100 on a 100-sim
+    # cache evaluated on a single simulation).  The overflow clamp must keep
+    # a meaningful test set and shrink train instead.
+    u = _rng(7).normal(size=(100, 64, 64, 20)).astype(np.float32)
+    monkeypatch.setattr(D, "_cache", lambda name, build: {"u": u})
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # synth-fallback + clamp warnings
+        tr_a, tr_u, te_a, te_u, h = D.load_ns_vorticity(
+            str(tmp_path), ntrain=100, ntest=20, T_in=10, T=10,
+            synth_sims=100,
+        )
+    assert tr_a.shape[0] == 80 and te_a.shape[0] == 20
+    # test block is the cache tail, disjoint from train
+    np.testing.assert_allclose(
+        te_u[-1], u[-1, :, :, 10:].reshape(-1, 10), rtol=1e-6
+    )
+    # an exactly-fitting request is untouched
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr_a, _, te_a, _, _ = D.load_ns_vorticity(
+            str(tmp_path), ntrain=90, ntest=10, T_in=10, T=10, synth_sims=100,
+        )
+    assert tr_a.shape[0] == 90 and te_a.shape[0] == 10

@@ -133,24 +133,26 @@ def main(argv=None):
     pos_d = jnp.asarray(pos)
     test_d = jnp.asarray(test)
 
-    def _gather(data):
-        def gather(idx):
-            xb = jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:])
-            return xb, data[idx]
-
-        return gather
+    # frame arrays thread through as explicit jit args (*data): closing over
+    # them would bake benchmark-scale datasets into the compile payload and
+    # trip the relay's ~300 MB remote-compile limit (train/loop.py
+    # make_epoch_fn docstring; CLAUDE.md).  pos_d (h*h*2 f32) stays a
+    # closure constant -- it is ~32 KB.
+    def gather(idx, data):
+        xb = jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:])
+        return xb, data[idx]
 
     if scan_epochs and ntest_f % bsz == 0:
         from ..train.loop import make_eval_fn
 
         eval_fn = make_eval_fn(
             lambda params, x, fx: recon_loss_impl(params, x, fx),
-            _gather(test_d),
+            gather,
         )
 
         def evaluate(params):
             idx_mat = jnp.arange(ntest_f).reshape(-1, bsz)
-            return float(eval_fn(params, idx_mat)) / ntest_f
+            return float(eval_fn(params, idx_mat, test_d)) / ntest_f
     else:
         def evaluate(params):
             total = 0.0
@@ -179,16 +181,17 @@ def main(argv=None):
         from ..train.loop import make_epoch_fn
 
         train_d = jnp.asarray(train)
-        epoch_fn = make_epoch_fn(loss_fn, _gather(train_d), donate=False)
+        epoch_fn = make_epoch_fn(loss_fn, gather, donate=False)
     else:
         update = make_update_fn(loss_fn)
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain_f)
     data_rng = np.random.default_rng(args.seed + start_epoch)
+    eval_every = max(1, getattr(args, "eval_every", 1))
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             idx_mat = jnp.asarray(data_rng.permutation(ntrain_f).reshape(-1, bsz))
-            state, (losses, _) = epoch_fn(state, idx_mat)
+            state, (losses, _) = epoch_fn(state, idx_mat, train_d)
             train_l = float(losses.sum())
         else:
             train_l = 0.0
@@ -196,12 +199,16 @@ def main(argv=None):
                 x = put(pos.repeat(len(idx), 0))
                 state, (loss, _) = update(state, x, put(train[idx]))
                 train_l += float(loss)
-        test_l = evaluate(state.params)
-        metrics.log(ep, train_loss=train_l / ntrain_f, test_loss=test_l)
-        print(
-            f"Epoch {ep} , train_step_loss:{train_l / ntrain_f} , "
-            f"test_step_loss:{test_l}"
-        )
+        if ep % eval_every == 0 or ep == args.epochs - 1:
+            test_l = evaluate(state.params)
+            metrics.log(ep, train_loss=train_l / ntrain_f, test_loss=test_l)
+            print(
+                f"Epoch {ep} , train_step_loss:{train_l / ntrain_f} , "
+                f"test_step_loss:{test_l}"
+            )
+        else:  # skipped eval (--eval_every): record train metrics only
+            metrics.log(ep, train_loss=train_l / ntrain_f)
+            print(f"Epoch {ep} , train_step_loss:{train_l / ntrain_f}")
         if ep % 10 == 0:
             print("save model")
             save_params(seq_checkpoint_path(args.save_name), state.params, state.step)

@@ -172,14 +172,21 @@ def run_autoregressive(
                 )
                 train_step_l += float(aux["step_loss"])
                 train_full_l += float(aux["full_loss"])
-        if ep % eval_every == 0 or ep == args.epochs - 1:
+        evaluated = ep % eval_every == 0 or ep == args.epochs - 1
+        if evaluated:
             test_step, test_full = evaluate(state.params)
+        # on skipped-eval epochs the JSONL record omits the test fields:
+        # logging the stale (or, right after a resume, NaN) carry-over as if
+        # current would corrupt downstream readers of the metrics file
         metrics.log(
             ep,
             train_step_loss=train_step_l / ntrain / (T / step),
             train_full_loss=train_full_l / ntrain,
-            test_step_loss=test_step,
-            test_full_loss=test_full,
+            **(
+                dict(test_step_loss=test_step, test_full_loss=test_full)
+                if evaluated
+                else {}
+            ),
         )
         print(
             "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "

@@ -6,6 +6,7 @@ so the reference ``scripts/*.sh`` launchers run unchanged.
 """
 
 import argparse
+import math
 import os
 import time
 
@@ -123,7 +124,9 @@ def base_parser(description="Training Transolver", **overrides):
                    help="run the test-set evaluation every N epochs (the "
                         "reference evaluates every epoch, exp_ns.py:216-246; "
                         "N>1 trades monitoring granularity for wall-clock on "
-                        "benchmark-scale splits)")
+                        "benchmark-scale splits). Honored by the autoreg, "
+                        "steady, plasticity, and auto-encoder trainers; the "
+                        "latent/unrolling trainers evaluate every epoch.")
     return p
 
 
@@ -309,9 +312,12 @@ class MetricsLogger:
             rec["samples_per_sec"] = round(self.samples / max(t - self.t0, 1e-9), 3)
         def coerce(v):
             try:
-                return round(float(v), 6)  # handles device scalars too
+                f = round(float(v), 6)  # handles device scalars too
             except (TypeError, ValueError):
                 return v
+            # json.dumps would emit bare NaN/Infinity literals, which are
+            # not valid strict JSON and break jq-style JSONL consumers
+            return f if math.isfinite(f) else None
 
         rec.update({k: coerce(v) for k, v in metrics.items()})
         self.t0 = t

@@ -194,6 +194,7 @@ def main(argv=None):
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
+    eval_every = max(1, getattr(args, "eval_every", 1))
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             steps = ntrain // bsz
@@ -228,19 +229,27 @@ def main(argv=None):
                         state, x, fx, put(y_t), tt
                     )
                     train_step_l += float(loss)
-        ts, tf = evaluate(state.params)
-        metrics.log(
-            ep,
-            train_step_loss=train_step_l / ntrain / T,
-            test_step_loss=ts,
-            test_full_loss=tf,
-        )
-        print(
-            "Epoch {} , train_step_loss:{:.5f} , test_step_loss:{:.5f} , "
-            "test_full_loss:{:.5f}".format(
-                ep, train_step_l / ntrain / T, ts, tf
+        if ep % eval_every == 0 or ep == args.epochs - 1:
+            ts, tf = evaluate(state.params)
+            metrics.log(
+                ep,
+                train_step_loss=train_step_l / ntrain / T,
+                test_step_loss=ts,
+                test_full_loss=tf,
             )
-        )
+            print(
+                "Epoch {} , train_step_loss:{:.5f} , test_step_loss:{:.5f} , "
+                "test_full_loss:{:.5f}".format(
+                    ep, train_step_l / ntrain / T, ts, tf
+                )
+            )
+        else:  # skipped eval (--eval_every): record train metrics only
+            metrics.log(ep, train_step_loss=train_step_l / ntrain / T)
+            print(
+                "Epoch {} , train_step_loss:{:.5f}".format(
+                    ep, train_step_l / ntrain / T
+                )
+            )
         # reference saves every 100 (exp_plas.py:262); every 10 here so the
         # relaunch-on-hang watcher + --resume loses at most 10 epochs
         if ep % 10 == 0:

@@ -222,11 +222,14 @@ def main(argv=None):
     train_batch = jax.jit(_train_batch)
     eval_batch = jax.jit(_eval_batch)
 
+    # one rng advanced across epochs: rebuilding default_rng(args.seed) per
+    # call would replay the identical shuffle every epoch
+    data_rng = np.random.default_rng(args.seed)
+
     def run_epoch(state, a, u, n, train=True):
         total = 0.0
         a_d, u_d = jnp.asarray(a), jnp.asarray(u)
-        for idx in epoch_batches(np.random.default_rng(args.seed), n, bsz,
-                                 shuffle=train):
+        for idx in epoch_batches(data_rng, n, bsz, shuffle=train):
             fx0, ys = a_d[jnp.asarray(idx)], u_d[jnp.asarray(idx)]
             if train:
                 state, loss = train_batch(state, fx0, ys)

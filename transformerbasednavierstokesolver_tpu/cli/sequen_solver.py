@@ -253,9 +253,12 @@ def main(argv=None):
         a_all = jnp.asarray(train_a)
         u_all = jnp.asarray(train_u)
 
-        def gather(idx):
+        # trajectory arrays thread through as explicit jit args: closed-over
+        # device arrays become compile-payload constants (relay HTTP 413 at
+        # ~300 MB; CLAUDE.md); xf_d is a small shared constant
+        def gather(idx, a, u):
             xb = jnp.broadcast_to(xf_d, (idx.shape[0],) + xf_d.shape[1:])
-            return xb, a_all[idx], u_all[idx]
+            return xb, a[idx], u[idx]
 
         epoch_cache = {
             g: make_epoch_fn(make_loss(g), gather, donate=False)
@@ -268,7 +271,9 @@ def main(argv=None):
             idx_mat = jnp.asarray(
                 data_rng.permutation(ntrain).reshape(-1, bsz)
             )
-            state, (losses, auxs) = epoch_cache[use_gt](state, idx_mat)
+            state, (losses, auxs) = epoch_cache[use_gt](
+                state, idx_mat, a_all, u_all
+            )
             tr_s = float(losses.sum())
             tr_f = float(auxs["full"].sum())
         else:

@@ -120,28 +120,33 @@ def run_steady(
         y_all = jnp.asarray(y_train)
         xt_all = jnp.asarray(x_test)
         yt_all = jnp.asarray(y_test)
+        # datasets thread through as explicit jit args: closed-over device
+        # arrays become compile-payload constants, and the pipe split
+        # (~200 MB) sits close to the relay's ~300 MB remote-compile limit
+        # (train/loop.py make_epoch_fn docstring; CLAUDE.md)
         epoch_fn = make_epoch_fn(
-            loss_fn, lambda idx: (x_all[idx], y_all[idx])
+            loss_fn, lambda idx, x, y: (x[idx], y[idx])
         )
         eval_total = make_eval_fn(
             lambda p, x, y: rel_lp(
                 predict(p, x), y, reduction="sum"
             ),
-            lambda idx: (xt_all[idx], yt_all[idx]),
+            lambda idx, x, y: (x[idx], y[idx]),
         )
         eval_idx = jnp.arange(ntest).reshape(-1, bsz)
 
         def evaluate(params):  # noqa: F811 -- scan-epoch variant
-            return float(eval_total(params, eval_idx)) / ntest
+            return float(eval_total(params, eval_idx, xt_all, yt_all)) / ntest
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
+    eval_every = max(1, getattr(args, "eval_every", 1))
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             idx_mat = jnp.asarray(
                 data_rng.permutation(ntrain).reshape(-1, bsz)
             )
-            state, (losses, _) = epoch_fn(state, idx_mat)
+            state, (losses, _) = epoch_fn(state, idx_mat, x_all, y_all)
             train_loss = float(losses.sum())
         else:
             train_loss = 0.0
@@ -151,9 +156,12 @@ def run_steady(
                 state, (loss, _) = update(state, x, y)
                 train_loss += float(loss)
         print("Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain))
-        rel_err = evaluate(state.params)
-        metrics.log(ep, train_loss=train_loss / ntrain, rel_err=rel_err)
-        print(f"rel_err:{rel_err}")
+        if ep % eval_every == 0 or ep == args.epochs - 1:
+            rel_err = evaluate(state.params)
+            metrics.log(ep, train_loss=train_loss / ntrain, rel_err=rel_err)
+            print(f"rel_err:{rel_err}")
+        else:  # skipped eval (--eval_every): record train metrics only
+            metrics.log(ep, train_loss=train_loss / ntrain)
         if ep % 100 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)

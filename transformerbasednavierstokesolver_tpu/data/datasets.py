@@ -183,9 +183,21 @@ def load_ns_vorticity(
         u = _cache(name, build)["u"]
         # honor the requested split as long as train/test don't overlap
         # (round 2 clamped ntrain to sims//2, which silently halved the
-        # benchmark's 1000/200 split even with enough sims generated)
-        ntest = min(ntest, max(sims - ntrain, 1))
-        ntrain = min(ntrain, sims - ntest)
+        # benchmark's 1000/200 split even with enough sims generated).
+        # When the request overflows the cache, preserve a meaningful TEST
+        # set and shrink train: the round-3 clamp preferred train and
+        # silently collapsed ntest to 1 sim whenever ntrain >= sims (e.g.
+        # auto_encoder --ntrain 100 on a 100-sim cache evaluated on a
+        # single simulation).
+        if ntrain + ntest > sims:
+            import warnings
+
+            ntest = min(ntest, max(sims // 5, 1))
+            ntrain = sims - ntest
+            warnings.warn(
+                f"NS split request overflows the {sims}-sim cache; "
+                f"clamped to {ntrain} train / {ntest} test"
+            )
 
     def prep(block):
         return np.ascontiguousarray(

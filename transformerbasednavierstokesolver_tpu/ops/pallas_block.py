@@ -1006,9 +1006,6 @@ def _sharded_cfg(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
     )
 
 
-_PSPEC_ARGS = None  # set lazily to avoid importing sharding at module import
-
-
 def _pspecs():
     from jax.sharding import PartitionSpec as P
 

@@ -44,6 +44,33 @@ def enable_compile_cache(path=None):
         pass
 
 
+def cpu_fallback_if_relay_dead(timeout=120):
+    """Pin the CPU backend when the TPU relay is unreachable.
+
+    The axon relay process can die mid-session (observed r3), and its
+    plugin then HANGS device init rather than raising; probe it in a
+    killable subprocess and fall back to CPU.  No-op when the user already
+    pinned a platform via TBNSS_PLATFORM.  Returns True if the fallback
+    was applied (callers mark the downgrade in their records).
+    """
+    if os.environ.get("TBNSS_PLATFORM"):
+        return False
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, check=True, capture_output=True,
+        )
+        return False
+    except Exception:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return True
+
+
 def _has_axon():
     try:
         from jax._src import xla_bridge
