@@ -165,3 +165,13 @@ def test_ns_synth_split_overflow_preserves_test(tmp_path, monkeypatch):
             str(tmp_path), ntrain=90, ntest=10, T_in=10, T=10, synth_sims=100,
         )
     assert tr_a.shape[0] == 90 and te_a.shape[0] == 10
+    # the clamp must never GROW train past the request either (a
+    # 'train on N sims' study with a large ntest overflowing the cache)
+    u30 = u[:30]
+    monkeypatch.setattr(D, "_cache", lambda name, build: {"u": u30})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tr_a, _, te_a, _, _ = D.load_ns_vorticity(
+            str(tmp_path), ntrain=15, ntest=20, T_in=10, T=10, synth_sims=30,
+        )
+    assert tr_a.shape[0] == 15 and te_a.shape[0] == 6  # 30 // 5

@@ -168,8 +168,9 @@ def main(argv=None):
 
         template = model.init(jax.random.PRNGKey(0), *sample)["params"]
         params = restore_params(seq_checkpoint_path(args.save_name), template)
-        print(f"recon rel-L2: {evaluate(params)}")
-        return evaluate(params)
+        recon = evaluate(params)
+        print(f"recon rel-L2: {recon}")
+        return recon
 
     state = create_train_state(jax.random.PRNGKey(args.seed), model, sample, tx)
     count_parameters(state.params)

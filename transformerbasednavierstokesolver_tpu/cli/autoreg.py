@@ -188,16 +188,26 @@ def run_autoregressive(
                 else {}
             ),
         )
-        print(
-            "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
-            "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
-                ep,
-                train_step_l / ntrain / (T / step),
-                train_full_l / ntrain,
-                test_step,
-                test_full,
+        if evaluated:
+            print(
+                "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
+                "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
+                    ep,
+                    train_step_l / ntrain / (T / step),
+                    train_full_l / ntrain,
+                    test_step,
+                    test_full,
+                )
             )
-        )
+        else:  # no eval this epoch: don't print a stale test loss as current
+            print(
+                "Epoch {} , train_step_loss:{:.5f} , "
+                "train_full_loss:{:.5f}".format(
+                    ep,
+                    train_step_l / ntrain / (T / step),
+                    train_full_l / ntrain,
+                )
+            )
         # reference saves every 100 epochs (exp_ns.py:248); save every 10 so
         # the relaunch-on-hang watcher + --resume loses at most 10 epochs
         if ep % 10 == 0:

@@ -125,8 +125,9 @@ def base_parser(description="Training Transolver", **overrides):
                         "reference evaluates every epoch, exp_ns.py:216-246; "
                         "N>1 trades monitoring granularity for wall-clock on "
                         "benchmark-scale splits). Honored by the autoreg, "
-                        "steady, plasticity, and auto-encoder trainers; the "
-                        "latent/unrolling trainers evaluate every epoch.")
+                        "steady, darcy, plasticity, and auto-encoder "
+                        "trainers; the latent/unrolling trainers evaluate "
+                        "every epoch.")
     return p
 
 

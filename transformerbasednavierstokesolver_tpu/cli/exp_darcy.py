@@ -185,35 +185,35 @@ def main(argv=None):
         fxt_all = jnp.asarray(x_test_n)
         yt_all = jnp.asarray(y_test)
 
-        def gather_train(idx):
+        # datasets thread through as explicit jit args, not closure
+        # constants (relay ~300 MB compile-payload limit; CLAUDE.md)
+        def gather(idx, fx_c, y_c):
             xb = jnp.broadcast_to(
                 pos_d, (idx.shape[0],) + pos_d.shape[1:]
             )
-            return xb, fx_all[idx], y_all[idx]
+            return xb, fx_c[idx], y_c[idx]
 
-        epoch_fn = make_epoch_fn(loss_fn, gather_train)
+        epoch_fn = make_epoch_fn(loss_fn, gather)
         eval_total = make_eval_fn(
             lambda p, x, fx, y: rel_lp(
                 predict(p, x, fx), y, reduction="sum"
             ),
-            lambda idx: (
-                jnp.broadcast_to(pos_d, (idx.shape[0],) + pos_d.shape[1:]),
-                fxt_all[idx], yt_all[idx],
-            ),
+            gather,
         )
         eval_idx = jnp.arange(ntest).reshape(-1, bsz)
 
         def evaluate(params):  # noqa: F811 -- scan-epoch variant
-            return float(eval_total(params, eval_idx)) / ntest
+            return float(eval_total(params, eval_idx, fxt_all, yt_all)) / ntest
 
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
+    eval_every = max(1, getattr(args, "eval_every", 1))
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             idx_mat = jnp.asarray(
                 data_rng.permutation(ntrain).reshape(-1, bsz)
             )
-            state, (_, auxs) = epoch_fn(state, idx_mat)
+            state, (_, auxs) = epoch_fn(state, idx_mat, fx_all, y_all)
             train_loss = float(auxs["l2"].sum())
             reg = float(auxs["deriv"].sum())
         else:
@@ -230,10 +230,13 @@ def main(argv=None):
                 ep, reg / ntrain, train_loss / ntrain
             )
         )
-        rel_err = evaluate(state.params)
-        print(f"rel_err:{rel_err}")
-        metrics.log(ep, train_loss=train_loss / ntrain, reg=reg / ntrain,
-                    rel_err=rel_err)
+        if ep % eval_every == 0 or ep == args.epochs - 1:
+            rel_err = evaluate(state.params)
+            print(f"rel_err:{rel_err}")
+            metrics.log(ep, train_loss=train_loss / ntrain, reg=reg / ntrain,
+                        rel_err=rel_err)
+        else:  # skipped eval (--eval_every): record train metrics only
+            metrics.log(ep, train_loss=train_loss / ntrain, reg=reg / ntrain)
         if ep % 100 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)

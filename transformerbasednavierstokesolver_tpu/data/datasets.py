@@ -193,7 +193,9 @@ def load_ns_vorticity(
             import warnings
 
             ntest = min(ntest, max(sims // 5, 1))
-            ntrain = sims - ntest
+            # never grow train past the request (a 'train on N sims' study
+            # must not silently train on more)
+            ntrain = min(ntrain, sims - ntest)
             warnings.warn(
                 f"NS split request overflows the {sims}-sim cache; "
                 f"clamped to {ntrain} train / {ntest} test"
