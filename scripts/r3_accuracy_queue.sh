@@ -42,13 +42,16 @@ if [ -f data/synthetic/plas_fem_n1125.npz ]; then
       > logs/plas900_r3.log 2>&1
     echo "plas900 exit $?"
   fi
-elif [ "$(done_lines logs/plas_r3.jsonl)" -lt 100 ] && [ "$(left)" -gt 300 ]; then
+elif [ "$(done_lines logs/plas_r3c.jsonl)" -lt 100 ] && [ "$(left)" -gt 300 ]; then
+  # fresh save_name: the old plas_r3 checkpoint was trained on data from
+  # the pre-fix equivalent-strain formula (round-3 review) and must not
+  # be resumed onto corrected-physics data
   timeout $(( $(left) < 1200 ? $(left) : 1200 )) python exp_plas.py \
     --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
     --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
     --epochs 100 --synth_n 200 --channel_weighted 1 \
-    --resume 1 --metrics_file logs/plas_r3.jsonl --save_name plas_r3 \
-    > logs/plas_r3.log 2>&1
+    --resume 1 --metrics_file logs/plas_r3c.jsonl --save_name plas_r3c \
+    > logs/plas_r3c.log 2>&1
   echo "plas exit $?"
 fi
 

@@ -103,3 +103,27 @@ def test_poisson_deformed_mesh_matches_mapped_exact():
     assert err < 5e-4, err
     # sanity: shearing changes the solution measurably vs the square
     assert float(jnp.abs(u_shear - u_base).max()) > 1e-3
+
+
+def test_element_gradient_patch_sheared():
+    """Linear patch test on a sheared element: dN/dx must reproduce the
+    exact constant gradient of a linear field u(x) = p.x for ANY affine
+    element.  Guards the J^-1 orientation in _element_geometry (the
+    round-3 review found it transposed, which silently solved a distorted
+    anisotropic operator on the wavy pipe meshes: 23% rel-L2 field error)."""
+    import numpy as np
+
+    A = np.array([[1.0, 0.3], [-0.2, 0.9]])  # non-symmetric shear
+    ref = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    xe = jnp.asarray(ref @ A.T)
+    dndx, detJ = fem._element_geometry(xe)
+    p = np.array([0.7, -1.3])
+    u_nodal = jnp.asarray(ref @ A.T @ p)
+    grad = jnp.einsum("a,gae->ge", u_nodal, dndx)
+    np.testing.assert_allclose(np.asarray(grad), np.tile(p, (4, 1)),
+                               rtol=1e-5, atol=1e-5)
+    # the affine |J| is constant: det(A) scaled by the [-1,1]^2 -> unit
+    # square reference-to-physical factor (1/2)^2
+    np.testing.assert_allclose(
+        np.asarray(detJ), np.linalg.det(A) / 4.0, rtol=1e-5
+    )

@@ -153,6 +153,20 @@ def load_ns_vorticity(
         # cost of 'fast', so it is opt-in for the canonical accuracy runs;
         # 'fast' keeps CPU smokes cheap but yields smoother, easier data.
         regime = os.environ.get("TBNSS_NS_REGIME", "fast")
+        if regime != "fno" and sims >= 100:
+            # a benchmark-size request in the fast regime is almost always
+            # a forgotten TBNSS_NS_REGIME=fno: the data would be badly
+            # under-resolved at nu=1e-5 and NOT comparable to the
+            # published numbers (round-3 review finding).  The fno-cache
+            # preference below rescues the case where the right cache
+            # already exists; warn loudly either way.
+            import warnings
+
+            warnings.warn(
+                f"generating {sims} NS sims in the 'fast' regime "
+                "(64^2-resolved, nu=1e-5 -> under-resolved): benchmark "
+                "runs must set TBNSS_NS_REGIME=fno"
+            )
         if regime == "fno":
             # dt = the recipe's 1e-4 halved: step-halving convergence measured
             # at rel-L2 1.8e-4 per time unit between dt=1e-4 and 2e-4 (far

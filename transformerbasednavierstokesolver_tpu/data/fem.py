@@ -73,7 +73,12 @@ def _element_geometry(xe):
         )
         / detJ[:, None, None]
     )
-    dndx = jnp.einsum("gad,gde->gae", dsh, Jinv)  # [4gp, 4, 2]
+    # chain rule: dN/dx_e = sum_d dN/dxi_d * dxi_d/dx_e, and with
+    # J[d,e] = dx_e/dxi_d the inverse map is dxi_d/dx_e = (J^-1)[e,d] --
+    # the round-1..3 'gde' form applied J^-1 un-transposed, which fails
+    # the linear patch test on sheared elements (only the wavy pipe
+    # meshes have off-diagonal J; axis-aligned elas/plas were unaffected)
+    dndx = jnp.einsum("gad,ged->gae", dsh, Jinv)  # [4gp, 4, 2]
     return dndx, detJ  # weights are all 1 for 2x2 Gauss
 
 

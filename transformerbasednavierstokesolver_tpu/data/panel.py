@@ -76,11 +76,15 @@ def karman_trefftz_sample(rng, n_around=221, n_radial=51, r_far=15.0,
     with np.errstate(divide="ignore", invalid="ignore"):
         vel = dw / dz
     speed = np.abs(vel)
-    # TE is a critical point of the map; the Kutta condition keeps the
-    # physical speed finite -- patch the isolated 0/0 samples by neighbors
+    # The TE is a critical point of the map where dw/dz is 0/0.  With the
+    # Kutta condition the physical limit at a FINITE-angle trailing edge
+    # (te_deg in [2,16] here) is a stagnation point, so isolated non-finite
+    # samples take speed 0 -- the earlier global-median patch injected a
+    # spurious ~freestream value at the most geometry-sensitive node
+    # (round-3 review finding).
     bad = ~np.isfinite(speed)
     if bad.any():
-        speed[bad] = np.nanmedian(speed[~bad])
+        speed[bad] = 0.0
 
     # Karman-Tsien: q/q_inc correction, then local Mach (isentropic, g=1.4)
     cp_inc = 1.0 - speed**2

@@ -196,9 +196,15 @@ def _plas_solver(s1, s2, n_steps, e_mod, eps_y, hard, n_secant):
     def eps_eq_of(u):
         st = fem.element_strain(nodes, u)
         exx, eyy, gxy = st[:, 0], st[:, 1], st[:, 2]
-        # von Mises equivalent strain (plane strain)
+        # von Mises equivalent strain, plane strain (ezz = 0): J2 flow is
+        # driven by the DEVIATORIC strain e - tr(e)/3.  The round-1..3 form
+        # assumed incompressibility (ezz = -(exx+eyy)), which lets purely
+        # hydrostatic strain 'yield' -- inconsistent with the compressible
+        # nu=0.3 solve (round-3 review finding; 3x overestimate under
+        # uniform in-plane compression).
+        t3 = (exx + eyy) / 3.0
         eq = jnp.sqrt(
-            (2.0 / 3.0) * (exx**2 + eyy**2 + (exx + eyy) ** 2)
+            (2.0 / 3.0) * ((exx - t3) ** 2 + (eyy - t3) ** 2 + t3**2)
             + (1.0 / 3.0) * gxy**2
         )
         return eq, st

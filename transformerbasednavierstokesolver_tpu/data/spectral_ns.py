@@ -468,14 +468,21 @@ def generate_velocity_dataset(
     domain = 2 * np.pi
     f_p = jnp.zeros((2, n, n), jnp.float32)
     record_every = max(int(round(frame_dt / dt)), 1)
-    n_steps = record_every * frames
+    # frame 0 is the McWilliams IC itself (data_generation.ipynb cell 6
+    # iterates frame_number-1 steps and includes the initial field) --
+    # the pre-review version recorded only evolved frames, shifting the
+    # whole trajectory by one frame vs the fork's layout
+    n_steps = record_every * (frames - 1)
 
     kx, ky, k2, k2_safe = _wavenumbers(n, domain)
 
     def one(k):
         w0 = mcwilliams_vorticity_pair(k, n, domain=domain)
-        traj = simulate_vorticity_pair(
+        evolved = simulate_vorticity_pair(
             w0, f_p, n_steps, record_every, dt, nu, domain
+        )  # [frames-1, n, n]
+        traj = jnp.concatenate(
+            [_ifft2p_re(w0)[None], evolved], axis=0
         )  # [frames, n, n]
 
         def to_uv(w):
