@@ -68,6 +68,20 @@ if [ ! -f logs/sequen_merged400_r3.done ] && [ "$(left)" -gt 900 ]; then
   echo "merged400 exit $?"
 fi
 
+# (moved up) pipe at the reference's 500-epoch schedule: the round-3
+#    physics audit invalidated the old pipe data (wrong-PDE FEM transform),
+#    so this run on the corrected cache is the ONLY valid pipe number --
+#    it outranks the refinement runs below (published bar 0.0033)
+if [ "$(done_lines logs/pipe500_r3.jsonl)" -lt 500 ] && [ "$(left)" -gt 1200 ]; then
+  timeout $(( $(left) < 7800 ? $(left) : 7800 )) python exp_pipe.py \
+    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
+    --mlp_ratio 2 --epochs 500 --synth_n 1000 \
+    --resume 1 --metrics_file logs/pipe500_r3.jsonl --save_name pipe500_r3 \
+    > logs/pipe500_r3.log 2>&1
+  echo "pipe500 exit $?"
+fi
+
 # 3. airfoil with surface-weighted train loss (bar: <=0.02 from 0.0461)
 if [ "$(done_lines logs/airfoil_r3.jsonl)" -lt 150 ] && [ "$(left)" -gt 300 ]; then
   timeout $(( $(left) < 1800 ? $(left) : 1800 )) python exp_airfoil.py \
@@ -91,18 +105,6 @@ if [ -f data/synthetic/elas_fem_n5000.npz ] && [ "$(done_lines logs/elas_r3b.jso
   echo "elas4x exit $?"
 fi
 
-# 5. pipe at the reference's 500-epoch schedule (fresh run: the 150-ep
-#    canonical completed its own OneCycle; published bar 0.0033, we were
-#    0.00444 at 150 -- ~14 s/epoch => ~2 h)
-if [ "$(done_lines logs/pipe500_r3.jsonl)" -lt 500 ] && [ "$(left)" -gt 1200 ]; then
-  timeout $(( $(left) < 7800 ? $(left) : 7800 )) python exp_pipe.py \
-    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
-    --n-layers 8 --batch-size 8 --slice_num 64 --max_grad_norm 0.1 \
-    --mlp_ratio 2 --epochs 500 --synth_n 1000 \
-    --resume 1 --metrics_file logs/pipe500_r3.jsonl --save_name pipe500_r3 \
-    > logs/pipe500_r3.log 2>&1
-  echo "pipe500 exit $?"
-fi
 
 # 6. AE retrain on the FIXED split (the round-3 clamp bug evaluated the
 #    0.0041 headline on a single sim; datasets.py now clamps to 80/20, so
