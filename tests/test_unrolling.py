@@ -22,7 +22,16 @@ def test_with_t_schedule():
     traj = _trajectory("with_t", 60, cap=4)
     assert traj[9] == 1 and traj[10] == 2
     assert traj[20] == 3 and traj[30] == 4
-    assert traj[59] == 4  # capped
+    # the reference's pre-increment guard (look_ahead <= max THEN += 1)
+    # lets look_ahead reach cap+1 (ns_unrolling2_with_t.py:208-212)
+    assert traj[40] == 5 and traj[59] == 5
+
+
+def test_velocity_schedule_reaches_cap_plus_one():
+    # ns_velocity_unrolling.py:210-214: at ep 320 look_ahead is 8 <= 8,
+    # so the reference increments to 9 and trains epochs 320-499 there
+    traj = _trajectory("velocity", 500, cap=8)
+    assert traj[319] == 8 and traj[320] == 9 and traj[499] == 9
 
 
 def test_vorticity_schedule_doubles_with_halving_threshold():

@@ -40,24 +40,28 @@ def advance_curriculum(variant, ep, look_ahead, thresh, max_look_ahead):
     """Reference-exact look-ahead schedules; returns (look_ahead, thresh).
 
     * velocity: +1 every 40 epochs from ep 40 while <= cap
-      (``ns_velocity_unrolling.py:210-214``; the reference's post-increment
-      cap check lets look_ahead reach cap, reproduced here);
+      (``ns_velocity_unrolling.py:210-214``).  The reference's
+      pre-increment guard (``look_ahead <= max_look_ahead`` THEN ``+= 1``)
+      lets look_ahead reach cap+1 -- preserved exactly (a round-3 review
+      found an earlier ``min()`` clamp silently trained the last 180
+      epochs at 8 instead of the reference's 9);
     * vorticity: x2 whenever ``ep % thresh == 0 and ep >= thresh`` (float
-      modulo, ``ns_vorticity_unrolling.py:216-223``), clamped at the cap,
-      threshold halving each time;
-    * with_t: +1 every 10 epochs from ep 10 while <= cap
-      (``ns_unrolling2_with_t.py:208-212``).
+      modulo), and here the reference DOES clamp at the cap after the
+      doubling (``ns_vorticity_unrolling.py:216-223``), threshold halving
+      each time;
+    * with_t: +1 every 10 epochs from ep 10 while <= cap, reaching cap+1
+      like velocity (``ns_unrolling2_with_t.py:208-212``).
     """
     if variant == "velocity":
         if ep % 40 == 0 and ep >= 40 and look_ahead <= max_look_ahead:
-            look_ahead = min(look_ahead + 1, max_look_ahead)
+            look_ahead += 1
     elif variant == "vorticity":
         if thresh > 0 and ep % thresh == 0 and ep >= thresh and look_ahead <= max_look_ahead:
             look_ahead = min(look_ahead * 2, max_look_ahead)
             thresh = thresh / 2
     elif variant == "with_t":
         if ep % 10 == 0 and ep >= 10 and look_ahead <= max_look_ahead:
-            look_ahead = min(look_ahead + 1, max_look_ahead)
+            look_ahead += 1
     else:
         raise ValueError(variant)
     return look_ahead, thresh
@@ -258,14 +262,19 @@ def _run(args, variant, data_tuple, h, fun_dim, out_dim, step, T,
 # ---------------------------------------------------------------------------
 
 
-def _load_velocity(args, t_in_ch, t_out_ch, ntrain, ntest):
+def _load_velocity(args, t_in_ch, t_out_ch, ntrain, ntest,
+                   fname="ns_50_20.npy", default_sims=50):
     path = args.data_path
     if os.path.isdir(path):
-        path = os.path.join(path, "ns_50_20.npy")
+        path = os.path.join(path, fname)
     frames = (t_in_ch + t_out_ch) // 2
-    data = load_ns_velocity_npy(path, sims=args.synth_n or 50, frames=frames)
+    data = load_ns_velocity_npy(
+        path, sims=args.synth_n or default_sims, frames=frames
+    )
     ntrain = min(ntrain, max(data.shape[0] - 2, 1))
-    ntest = min(ntest, data.shape[0] - ntrain)
+    # keep at least one test sim (overlapping train only in the degenerate
+    # 1-sim smoke case) -- ntest=0 would divide evaluate() by zero
+    ntest = max(min(ntest, data.shape[0] - ntrain), 1)
     r = args.downsample
     h = int(((64 - 1) / r) + 1)
 
@@ -318,6 +327,10 @@ def ns_unrolling2_with_t_main(argv=None):
         "SOL unrolling2", save_name="ns_unrolling2_with_t",
         epochs=500, downsample=1,
     ).parse_args(argv)
-    data, h = _load_velocity(args, 20, 20, 40, 10)
-    return _run(args, "with_t", data, h, fun_dim=20, out_dim=2, step=2,
-                T=20, look_ahead0=1, max_look_ahead=4)
+    # reference config: ns_20_20.npy, T_in = T = 10 channels, 16/4 split
+    # (ns_unrolling2_with_t.py:40-48) -- a round-3 review found this
+    # trainer had silently run the velocity trainer's 20/20/40/10 config
+    data, h = _load_velocity(args, 10, 10, 16, 4,
+                             fname="ns_20_20.npy", default_sims=20)
+    return _run(args, "with_t", data, h, fun_dim=10, out_dim=2, step=2,
+                T=10, look_ahead0=1, max_look_ahead=4)

@@ -25,7 +25,10 @@ class _UnrollStep(nn.Module):
         x, fx = carry
         u = Transolver(**self.model_kwargs, name="transolver_model")(x, fx)
         fx = jnp.concatenate([fx[..., self.step :], u], axis=-1)
-        return (x, fx), u
+        # no per-step output: only the final prediction is used, and it is
+        # recoverable from the carry -- stacking all look_ahead predictions
+        # would materialize an [n, B, N, out] array per train step
+        return (x, fx), None
 
 
 class SOLTransolver(nn.Module):
@@ -90,5 +93,8 @@ class SOLTransolver(nn.Module):
             split_rngs={"params": False, "dropout": True},
             length=n,
         )(model_kwargs=self.model_kwargs(), step=self.step, name="unroll")
-        (_, fx_final), us = unroll((x, fx), None)
-        return us[-1]
+        (_, fx_final), _ = unroll((x, fx), None)
+        # the last prediction is the trailing out_dim channels of the carry
+        # (each step drops `step` channels and appends the out_dim-channel
+        # prediction)
+        return fx_final[..., -self.out_dim:]

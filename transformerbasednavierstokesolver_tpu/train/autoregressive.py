@@ -61,7 +61,19 @@ def _teacher_forced_scan(forward, x, fx, yy, step, unroll=1, track_full=True,
         )
         return loss, (_stack_preds(preds) if track_full else None)
 
-    assert n_steps % 2 == 0, "'half' remat needs an even number of steps"
+    if n_steps % 2 != 0:
+        # pairwise body needs an even trip count; fall back to per-step
+        # remat instead of crashing (step=2 trainers have n_steps=5)
+        import warnings
+
+        warnings.warn(
+            f"'half' remat needs an even step count (got {n_steps}); "
+            "falling back to per-step remat"
+        )
+        return _teacher_forced_scan(
+            forward, x, fx, yy, step,  # already the checkpointed fn
+            unroll=unroll, track_full=track_full, forward2=None,
+        )
 
     def body2(carry, t):
         fx_, loss = carry
@@ -128,7 +140,11 @@ def make_teacher_forced_loss(step: int = 1, remat=False,
             forward2=forward2,
         )
         if pred is None:
-            return loss, {"step_loss": loss, "full_loss": loss}
+            # track_full=False: no stacked predictions, so there is no
+            # full-trajectory metric -- report NaN rather than aliasing the
+            # (differently-scaled) step-loss sum under the full_loss name
+            return loss, {"step_loss": loss,
+                          "full_loss": jnp.full_like(loss, jnp.nan)}
         bsz = x.shape[0]
         full = rel_lp(
             pred.reshape(bsz, -1), yy.reshape(bsz, -1), reduction="sum"
