@@ -106,6 +106,22 @@ if [ -f data/synthetic/elas_fem_n5000.npz ] && [ "$(done_lines logs/elas_r3b.jso
 fi
 
 
+# 5b. darcy on the official-recipe data (421^2 node-centered solve +
+#     pointwise ::5 subsample; round-3 fidelity audit) -- fresh save_name,
+#     the canonical resume above stays on the data it started on.  Gated
+#     on the host-side cache from tools/gen_darcy_hires.py.
+if [ -f data/synthetic/darcy_hires_s85_n1000_200.npz ] \
+   && [ "$(done_lines logs/darcy_hires_r3.jsonl)" -lt 500 ] && [ "$(left)" -gt 900 ]; then
+  TBNSS_DARCY_REGIME=hires timeout $(( $(left) < 4500 ? $(left) : 4500 )) \
+    python exp_darcy.py \
+    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 4 --slice_num 64 --unified_pos 1 --ref 8 \
+    --downsample 5 --max_grad_norm 0.1 --epochs 500 --ntrain 1000 --synth_n 1000 \
+    --resume 1 --metrics_file logs/darcy_hires_r3.jsonl --save_name darcy_hires_r3 \
+    > logs/darcy_hires_r3.log 2>&1
+  echo "darcy_hires exit $?"
+fi
+
 # 6. AE retrain on the FIXED split (the round-3 clamp bug evaluated the
 #    0.0041 headline on a single sim; datasets.py now clamps to 80/20, so
 #    this run yields a trained-on-80 / tested-on-20-unseen-sims number)

@@ -103,17 +103,40 @@ def load_darcy(data_path, ntrain=1000, ntest=200, r=5, synth_n=None):
         _warn_synth("darcy", train_path)
         import jax
 
-        from .darcy_gen import generate_darcy_dataset
+        from .darcy_gen import generate_darcy_dataset, generate_darcy_dataset_hires
 
         n_tr = min(ntrain, synth_n or 64)
         n_te = min(ntest, max((synth_n or 64) // 4, 8))
 
-        def build():
-            ctr, str_ = generate_darcy_dataset(jax.random.PRNGKey(0), n_tr, s)
-            cte, ste = generate_darcy_dataset(jax.random.PRNGKey(1), n_te, s)
-            return dict(x_train=ctr, y_train=str_, x_test=cte, y_test=ste)
+        # 'hires' = the official FNO recipe (node-centered 421^2 solve with
+        # a pinned-zero boundary, pointwise ::r subsample); 'direct' = the
+        # cheaper direct-85^2 cell-flux solve (round <= 3 canonical data,
+        # which leaves ~4%-of-max values on the boundary ring -- see the
+        # regime-fidelity caveats in docs/RESULTS.md).  Opt-in by env so
+        # resumed runs keep training on the data they started on.
+        regime = os.environ.get("TBNSS_DARCY_REGIME", "direct")
+        if regime == "hires":
 
-        z = _cache(f"darcy_s{s}_n{n_tr}_{n_te}", build)
+            def build():
+                ctr, str_ = generate_darcy_dataset_hires(
+                    jax.random.PRNGKey(0), n_tr, r=r
+                )
+                cte, ste = generate_darcy_dataset_hires(
+                    jax.random.PRNGKey(1), n_te, r=r
+                )
+                return dict(x_train=ctr, y_train=str_, x_test=cte, y_test=ste)
+
+            cache_name = f"darcy_hires_s{s}_n{n_tr}_{n_te}"
+        else:
+
+            def build():
+                ctr, str_ = generate_darcy_dataset(jax.random.PRNGKey(0), n_tr, s)
+                cte, ste = generate_darcy_dataset(jax.random.PRNGKey(1), n_te, s)
+                return dict(x_train=ctr, y_train=str_, x_test=cte, y_test=ste)
+
+            cache_name = f"darcy_s{s}_n{n_tr}_{n_te}"
+
+        z = _cache(cache_name, build)
         x_train, y_train = z["x_train"], z["y_train"]
         x_test, y_test = z["x_test"], z["y_test"]
         ntrain, ntest = n_tr, n_te
