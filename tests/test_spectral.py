@@ -230,6 +230,44 @@ def test_spectral_downsample_consistency():
     np.testing.assert_allclose(yh, xh, rtol=1e-5, atol=1e-6)
 
 
+def test_pointwise_downsample_mode():
+    """'pointwise' reproduces the official sol[::sub, ::sub] convention:
+    identical to 'spectral' when no reduction happens, and retains MORE
+    high-wavenumber energy (aliasing) when it does."""
+    from transformerbasednavierstokesolver_tpu.data.spectral_ns import (
+        radial_energy_spectrum,
+    )
+
+    kw = dict(n=16, dt=5e-3, frame_dt=0.05, nu=1e-3)
+    a = generate_vorticity_dataset(
+        jax.random.PRNGKey(7), 1, 2, downsample="spectral", **kw
+    )
+    b = generate_vorticity_dataset(
+        jax.random.PRNGKey(7), 1, 2, downsample="pointwise", **kw
+    )
+    np.testing.assert_array_equal(a, b)  # sim_n == n: both are identity
+
+    kw["sim_n"] = 48
+    a = generate_vorticity_dataset(
+        jax.random.PRNGKey(7), 1, 2, downsample="spectral", **kw
+    )
+    b = generate_vorticity_dataset(
+        jax.random.PRNGKey(7), 1, 2, downsample="pointwise", **kw
+    )
+    assert a.shape == b.shape == (1, 16, 16, 2)
+    assert np.isfinite(b).all()
+    assert not np.allclose(a, b)
+    _, ea = radial_energy_spectrum(jnp.asarray(a[0, ..., -1]))
+    _, eb = radial_energy_spectrum(jnp.asarray(b[0, ..., -1]))
+    # aliased high-k tail: pointwise keeps more energy near the grid Nyquist
+    assert float(eb[-3:].sum()) > float(ea[-3:].sum())
+
+    with pytest.raises(ValueError):
+        generate_vorticity_dataset(
+            jax.random.PRNGKey(7), 1, 2, downsample="nearest", **kw
+        )
+
+
 def test_dataset_shapes_and_determinism():
     u1 = generate_vorticity_dataset(jax.random.PRNGKey(5), 2, 3, n=32, dt=5e-3)
     u2 = generate_vorticity_dataset(jax.random.PRNGKey(5), 2, 3, n=32, dt=5e-3)

@@ -190,11 +190,17 @@ def load_ns_vorticity(
                 "(64^2-resolved, nu=1e-5 -> under-resolved): benchmark "
                 "runs must set TBNSS_NS_REGIME=fno"
             )
+        # 'pointwise' reproduces the official script's ``sol[::sub, ::sub]``
+        # (retains aliased high-k content; the official 64^2 files are
+        # pointwise products); default 'spectral' is the alias-free
+        # truncation the round <= 3 canonical caches were built with.
+        ds_mode = os.environ.get("TBNSS_NS_DOWNSAMPLE", "spectral")
         if regime == "fno":
             # dt = the recipe's 1e-4 halved: step-halving convergence measured
             # at rel-L2 1.8e-4 per time unit between dt=1e-4 and 2e-4 (far
             # below the 0.090 target band); 2x cheaper generation.
-            sim_n, dt, warmup, tag = max(resolution, 256), 2e-4, 0, "fno_"
+            sim_n, dt, warmup = max(resolution, 256), 2e-4, 0
+            tag = "fnopw_" if ds_mode == "pointwise" else "fno_"
         else:
             sim_n, dt, warmup, tag = resolution, 2e-3, 2, ""
 
@@ -204,6 +210,7 @@ def load_ns_vorticity(
                     jax.random.PRNGKey(42), sims, T_in + T, n=resolution,
                     nu=1e-5, dt=dt, frame_dt=1.0, warmup_frames=warmup,
                     sim_n=sim_n, batch=min(sims, 64 if regime == "fno" else sims),
+                    downsample=ds_mode,
                 )
             )
 

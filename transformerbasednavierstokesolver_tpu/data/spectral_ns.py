@@ -413,13 +413,19 @@ def simulate_vorticity(w_hat0, f_hat, n_steps: int, record_every: int,
 def generate_vorticity_dataset(
     key, sims, frames, n=64, nu=1e-5, dt=1e-3, frame_dt=1.0,
     init="grf", forced=True, warmup_frames=0, sim_n=None, batch=None,
-    progress=None,
+    progress=None, downsample="spectral",
 ):
     """FNO-benchmark-style dataset: [sims, n, n, frames] vorticity snapshots.
 
     ``sim_n`` (default ``n``): solver resolution.  The benchmark regime for
     nu=1e-5 is sim_n=256, dt=1e-4, frame_dt=1 (Li et al. 2020): the IC is
-    drawn at sim_n and the recorded frames are Fourier-truncated to ``n``.
+    drawn at sim_n and the recorded frames are reduced to ``n``.
+    ``downsample``: 'spectral' Fourier-truncates (alias-free low-pass);
+    'pointwise' records ``w[::sim_n//n, ::sim_n//n]`` exactly like the
+    official generation script (``sol[::sub, ::sub]``), retaining aliased
+    high-k content -- the official 64^2 files are pointwise products, so
+    this mode reproduces their observed noisier dynamics (round-3
+    regime-fidelity audit, docs/RESULTS.md caveats).
     ``batch``: chunk the vmap over sims to bound memory at high sim_n.
     """
     sim_n = sim_n or n
@@ -431,7 +437,17 @@ def generate_vorticity_dataset(
 
     ic = (gaussian_random_field_pair if init == "grf"
           else mcwilliams_vorticity_pair)
-    down = jax.jit(lambda w_p: spectral_downsample(_ifft2p_re(w_p), n))
+    if downsample == "pointwise" and sim_n != n:
+        if sim_n % n:
+            raise ValueError(
+                f"pointwise downsample needs n | sim_n, got {sim_n}/{n}"
+            )
+        stride = sim_n // n
+        down = jax.jit(lambda w_p: _ifft2p_re(w_p)[..., ::stride, ::stride])
+    elif downsample in ("spectral", "pointwise"):
+        down = jax.jit(lambda w_p: spectral_downsample(_ifft2p_re(w_p), n))
+    else:
+        raise ValueError(downsample)
 
     batch = batch or sims
     chunks = []
