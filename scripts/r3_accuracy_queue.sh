@@ -122,6 +122,21 @@ if [ -f data/synthetic/darcy_hires_s85_n1000_200.npz ] \
   echo "darcy_hires exit $?"
 fi
 
+# 5c. airfoil on the transonic (shock-capturing full-potential) data --
+#     the official benchmark's regime; fresh save_name, gated on the
+#     cache from tools/gen_airfoil_transonic.py.
+if [ -f data/synthetic/airfoil_tsn_n1250.npz ] \
+   && [ "$(done_lines logs/airfoil_tsn_r3.jsonl)" -lt 150 ] && [ "$(left)" -gt 900 ]; then
+  TBNSS_AIRFOIL_REGIME=transonic timeout $(( $(left) < 2400 ? $(left) : 2400 )) \
+    python exp_airfoil.py \
+    --model Transolver_Structured_Mesh_2D --n-hidden 128 --n-heads 8 \
+    --n-layers 8 --batch-size 4 --slice_num 64 --max_grad_norm 0.1 \
+    --epochs 150 --synth_n 1000 \
+    --resume 1 --metrics_file logs/airfoil_tsn_r3.jsonl --save_name airfoil_tsn_r3 \
+    > logs/airfoil_tsn_r3.log 2>&1
+  echo "airfoil_tsn exit $?"
+fi
+
 # 6. AE retrain on the FIXED split (the round-3 clamp bug evaluated the
 #    0.0041 headline on a single sim; datasets.py now clamps to 80/20, so
 #    this run yields a trained-on-80 / tested-on-20-unseen-sims number)
