@@ -147,3 +147,26 @@ def test_supported_gates():
     assert not pallas_block.supported(
         (8, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 128
     )
+
+
+def test_supported_mosaic_divisibility(monkeypatch):
+    """Row/flat blocks must satisfy Mosaic's second-minor %8 rule on TPU.
+
+    Regression: darcy-hires (85^2) picked R=17 and failed pallas lowering
+    ('block shape ... divisible by 8') instead of falling back to XLA.
+    Interpret mode (CPU) has no such constraint, so force the TPU branch.
+    """
+    monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
+    # 85 = 5*17: no divisor >= 2 that is a multiple of 8 -> unsupported
+    assert pallas_block._pick_row_block(85, 85, 128, 512) is None
+    # 85^2 = 5^2*17^2: no flat divisor that is a multiple of 8 either
+    assert pallas_block._pick_flat_block(85 * 85, 128, 512, 256) is None
+    assert not pallas_block.supported(
+        (4, 85 * 85, 128), jnp.float32, (85, 85), 8, 64, 256
+    )
+    # pipe's 129 = 3*43 and airfoil's 221 = 13*17: same story
+    assert pallas_block._pick_row_block(129, 129, 128, 512) is None
+    assert pallas_block._pick_row_block(221, 51, 128, 512) is None
+    # the flagship 64^2 grid keeps a valid (multiple-of-8) row block
+    assert pallas_block._pick_row_block(64, 64, 256, 256) % 8 == 0
+    assert pallas_block._pick_flat_block(64 * 64, 256, 256, 512) % 8 == 0

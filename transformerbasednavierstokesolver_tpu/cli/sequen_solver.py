@@ -27,7 +27,14 @@ from ..train.checkpoint import restore_params, save_params
 from ..train.loop import make_update_fn
 from ..train.optim import freeze_subtrees, make_optimizer
 from ..utils.losses import rel_lp
-from .common import dp_put, epoch_batches, count_parameters
+from .common import (
+    MetricsLogger,
+    count_parameters,
+    dp_put,
+    epoch_batches,
+    maybe_resume,
+    save_state,
+)
 
 T_IN = 10
 T_OUT = 10
@@ -55,6 +62,12 @@ def build_argparser():
     p.add_argument("--layers", type=int, default=None,
                    help="temporal layers (default: 8 merged / 5 original)")
     p.add_argument("--encoder_layers", type=int, default=8)
+    # observability/restart extras shared with the field trainers
+    # (cli/common.py conventions): the 400-sim merged run is >1 h under the
+    # relay, so losing it to a transport hiccup is not acceptable
+    p.add_argument("--resume", type=int, default=0)
+    p.add_argument("--metrics_file", type=str, default=None)
+    p.add_argument("--eval_every", type=int, default=1)
     return p
 
 
@@ -232,6 +245,8 @@ def main(argv=None):
     from ..train.loop import TrainState
 
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state, start_step = maybe_resume(state, args)
+    start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
 
     gt_modes = {True, False} if args.variant == "original" else {False}
@@ -264,18 +279,32 @@ def main(argv=None):
             g: make_epoch_fn(make_loss(g), gather, donate=False)
             for g in gt_modes
         }
+    # the relay transport hangs on single dispatches past ~1 min (CLAUDE.md);
+    # split scan epochs into equal-shaped sub-dispatches like cli/autoreg.py
+    if scan_epochs:
+        n_steps = ntrain // bsz
+        chunk_samples = int(_os.environ.get("TBNSS_SCAN_CHUNK", "256"))
+        max_steps = max(1, chunk_samples // bsz)
+        steps_per_chunk = next(
+            (d for d in range(max_steps, 0, -1) if n_steps % d == 0), n_steps
+        )
+
+    eval_every = max(1, args.eval_every)
+    metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    ts = tf = tfirst = float("nan")
+    for ep in range(start_epoch, args.epochs):
         use_gt = args.variant == "original" and ep < args.use_gt_epochs
         if scan_epochs:
-            idx_mat = jnp.asarray(
-                data_rng.permutation(ntrain).reshape(-1, bsz)
-            )
-            state, (losses, auxs) = epoch_cache[use_gt](
-                state, idx_mat, a_all, u_all
-            )
-            tr_s = float(losses.sum())
-            tr_f = float(auxs["full"].sum())
+            idx_mat = data_rng.permutation(ntrain).reshape(-1, bsz)
+            tr_s = tr_f = 0.0
+            for c in range(0, n_steps, steps_per_chunk):
+                state, (losses, auxs) = epoch_cache[use_gt](
+                    state, jnp.asarray(idx_mat[c : c + steps_per_chunk]),
+                    a_all, u_all,
+                )
+                tr_s += float(losses.sum())
+                tr_f += float(auxs["full"].sum())
         else:
             update = update_cache[use_gt]
             tr_s = tr_f = 0.0
@@ -286,17 +315,41 @@ def main(argv=None):
                 )
                 tr_s += float(loss)
                 tr_f += float(aux["full"])
-        ts, tf, tfirst = evaluate(state.params)
-        print(
-            "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
-            "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
-                ep, tr_s / ntrain / T_IN, tr_f / ntrain, ts, tf
+        evaluated = ep % eval_every == 0 or ep == args.epochs - 1
+        if evaluated:
+            ts, tf, tfirst = evaluate(state.params)
+            print(
+                "Epoch {} , train_step_loss:{:.5f} , train_full_loss:{:.5f} , "
+                "test_step_loss:{:.5f} , test_full_loss:{:.5f}".format(
+                    ep, tr_s / ntrain / T_IN, tr_f / ntrain, ts, tf
+                )
             )
+            print(f"first frame loss {tfirst}")
+        else:  # no eval this epoch: don't print a stale test loss as current
+            print(
+                "Epoch {} , train_step_loss:{:.5f} , "
+                "train_full_loss:{:.5f}".format(
+                    ep, tr_s / ntrain / T_IN, tr_f / ntrain
+                )
+            )
+        metrics.log(
+            ep,
+            train_step_loss=tr_s / ntrain / T_IN,
+            train_full_loss=tr_f / ntrain,
+            **(
+                dict(test_step_loss=ts, test_full_loss=tf, first_frame=tfirst)
+                if evaluated
+                else {}
+            ),
         )
-        print(f"first frame loss {tfirst}")
+        if ep % 10 == 0:
+            print("save model")
+            save_params(seq_ckpt(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(seq_ckpt(args.save_name), state.params, state.step)
+    save_state(state, args)
     return evaluate(state.params)[1]
 
 

@@ -26,10 +26,12 @@ tested in ``tests/test_pallas_block.py``.
 Layout notes (shared with ``pallas_attention_v2``): C = heads*dim_head lanes,
 HG = heads*slice_num packed lanes; per-head softmax via segment one-hots;
 block-diagonal expanded slice kernel / tokens.  The row-block size R must
-be a divisor >= 2 of the grid height H (true for the NS/Darcy/Airfoil/Pipe
-grids: 64, 85, 221, 129; prime heights like plasticity's 101 fall back to
-the XLA block via ``supported``); the conv halo is assembled from two
-adjacent row blocks, so no manual DMA is needed.
+be a divisor >= 2 of the grid height H that is also a multiple of 8
+(Mosaic's second-minor block rule) — true for the 64^2 NS/Darcy-direct
+grids; heights without such a divisor (85, 101, 129, 221: Darcy-hires,
+plasticity, pipe, airfoil) fall back to the XLA block via ``supported``.
+The conv halo is assembled from two adjacent row blocks, so no manual DMA
+is needed.
 """
 
 import functools
@@ -400,8 +402,15 @@ def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
     # R=1 would make the two-row halo refs smaller than the window the
     # conv/mask kernels slice from them (_mask_from_rows assumes R >= 2);
     # prime row counts (plasticity's 101) therefore fall back to XLA
+    require_8 = not _interpret()
     for r in range(2, min(Hrows, 64) + 1):
         if Hrows % r:
+            continue
+        if require_8 and r % 8:
+            # Mosaic requires the second-minor block dim be a multiple of 8
+            # (or equal the array dim -- never true here: the padded halo
+            # refs hold (nb+1)*R rows).  85^2 darcy-hires picks R=17
+            # otherwise and fails lowering; interpret mode has no such rule.
             continue
         halo = (r + 2) * (W + 2)
         fwd = 4 * (2 * halo * C + 6 * r * W * C + 3 * r * W * HG)
@@ -425,8 +434,11 @@ def _pick_flat_block(N, C, HG, M, budget_bytes=40 * 1024 * 1024):
     row_bytes = 4 * (2 * HG + 10 * C + 4 * M)
     cap = max(budget_bytes // row_bytes, 8)
     best = None
+    require_8 = not _interpret()
     for b in range(8, min(2048, N, cap) + 1):
-        if N % b == 0:
+        if N % b == 0 and not (require_8 and b % 8 and b != N):
+            # same Mosaic second-minor rule as _pick_row_block (b == N makes
+            # the block equal the array dim, which Mosaic always allows)
             best = b
     return best
 
