@@ -113,6 +113,34 @@ def test_sequen_solver(variant, tmp_path, monkeypatch):
     )
 
 
+def test_sequen_solver_finetune(tmp_path, monkeypatch):
+    """--finetune_epochs unfreezes the encoder for the tail epochs.
+
+    Asserts the phase actually trains the encoder: its params must change
+    during the ft epoch (they are provably frozen before the switch).
+    """
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from flax import serialization
+    from transformerbasednavierstokesolver_tpu.cli import sequen_solver as ss
+
+    base = ["--variant", "merged", "--sim_num", "2", "--epochs", "2",
+            "--layers", "1", "--encoder_layers", "1", "--synth_n", "4"]
+    _finite(ss.main(base + ["--finetune_epochs", "1", "--save_name", "t"]))
+    # same seed, frozen all the way: its encoder stays at the (identical)
+    # init, so any encoder delta is the ft epoch's training
+    _finite(ss.main(base + ["--save_name", "t2"]))
+
+    def enc(name):
+        with open(ss.seq_ckpt(name), "rb") as f:
+            return serialization.msgpack_restore(f.read())["params"]["encoder"]
+
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(abs(a - b).sum()), enc("t"), enc("t2")
+    )
+    assert sum(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
 @pytest.mark.parametrize("mode", ["code", "previous", "vorticity",
                                   "slice_learner"])
 def test_learn_slice(mode, tmp_path, monkeypatch):

@@ -68,6 +68,14 @@ def build_argparser():
     p.add_argument("--resume", type=int, default=0)
     p.add_argument("--metrics_file", type=str, default=None)
     p.add_argument("--eval_every", type=int, default=1)
+    # Joint encoder fine-tuning (merged variant; extension, no reference
+    # counterpart — the reference keeps the encoder frozen forever,
+    # SequenSolverMerged.py:84-86): the LAST K epochs unfreeze the encoder
+    # and train everything end-to-end on the rollout objective with a
+    # fresh short OneCycle at --finetune_lr (default lr/10).  The main
+    # phase's schedule is shortened to complete before the switch.
+    p.add_argument("--finetune_epochs", type=int, default=0)
+    p.add_argument("--finetune_lr", type=float, default=None)
     return p
 
 
@@ -129,12 +137,14 @@ def main(argv=None):
 
     bsz = args.batch_size
     steps_per_epoch = (ntrain + bsz - 1) // bsz
+    ft_epochs = args.finetune_epochs if args.variant == "merged" else 0
+    switch_epoch = args.epochs - ft_epochs
     # Original variant, phase 2 (after the use-gt epochs): the temporal
     # attention block freezes while the slice head keeps training
     # (reference ``SequenSolver.py:576-579`` freeze_attention).
     phase_keys = {"block"} if args.variant == "original" else ()
     tx = freeze_subtrees(
-        make_optimizer(args.lr, args.epochs * steps_per_epoch, 1e-5, None),
+        make_optimizer(args.lr, switch_epoch * steps_per_epoch, 1e-5, None),
         {"encoder"},
         phase_frozen_keys=phase_keys,
         phase_start_step=args.use_gt_epochs * steps_per_epoch,
@@ -249,6 +259,31 @@ def main(argv=None):
     start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
 
+    in_finetune = False
+
+    def to_finetune(state):
+        """Switch to the joint encoder fine-tune phase (see argparser).
+
+        New TrainState: apply_fn from the finetune_encoder=True module
+        (drops the stop_gradients), an unmasked fresh OneCycle over the
+        remaining ft steps, optimizer state reset (the phase boundary is a
+        schedule restart, like the reference's own phase switches).
+        """
+        model_ft = model.clone(finetune_encoder=True)
+        lr_ft = args.finetune_lr if args.finetune_lr is not None else args.lr / 10
+        tx_ft = make_optimizer(lr_ft, ft_epochs * steps_per_epoch, 1e-5, None)
+        return TrainState.create(
+            apply_fn=model_ft.apply, params=state.params, tx=tx_ft
+        )
+
+    if ft_epochs and start_epoch >= switch_epoch:
+        # resuming into the ft phase: params were restored above; the ft
+        # optimizer state restarts (save_state is skipped during ft, so a
+        # mid-ft restart re-enters at the switch boundary)
+        state = to_finetune(state)
+        in_finetune = True
+        start_epoch = switch_epoch
+
     gt_modes = {True, False} if args.variant == "original" else {False}
     update_cache = {
         g: make_update_fn(make_loss(g), donate=False) for g in gt_modes
@@ -294,6 +329,10 @@ def main(argv=None):
     data_rng = np.random.default_rng(args.seed)
     ts = tf = tfirst = float("nan")
     for ep in range(start_epoch, args.epochs):
+        if ft_epochs and ep == switch_epoch and not in_finetune:
+            print(f"epoch {ep}: unfreezing encoder (joint fine-tune phase)")
+            state = to_finetune(state)
+            in_finetune = True
         use_gt = args.variant == "original" and ep < args.use_gt_epochs
         if scan_epochs:
             idx_mat = data_rng.permutation(ntrain).reshape(-1, bsz)
@@ -345,11 +384,13 @@ def main(argv=None):
         if ep % 10 == 0:
             print("save model")
             save_params(seq_ckpt(args.save_name), state.params, state.step)
-            save_state(state, args)
+            if not in_finetune:  # ft opt-state shape differs; see to_finetune
+                save_state(state, args)
 
     print("save model")
     save_params(seq_ckpt(args.save_name), state.params, state.step)
-    save_state(state, args)
+    if not in_finetune:
+        save_state(state, args)
     return evaluate(state.params)[1]
 
 

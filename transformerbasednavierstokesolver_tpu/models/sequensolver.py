@@ -126,6 +126,13 @@ class SequenSolverMerged(nn.Module):
     ref: int = 8
     slice_hidden: int = 256
     encoder_layers: int = 8
+    # Joint fine-tuning extension (no reference counterpart — the reference
+    # keeps the encoder frozen forever, SequenSolverMerged.py:84-86): when
+    # True, encoder outputs are NOT stop-gradiented so a late training
+    # phase can adapt the encoder to the rollout objective (the optimizer
+    # must also unmask the ``encoder`` subtree; cli/sequen_solver.py
+    # --finetune_epochs).
+    finetune_encoder: bool = False
 
     @property
     def dim(self):
@@ -179,11 +186,15 @@ class SequenSolverMerged(nn.Module):
         )
         code, _ = self.encoder.encode(xs, frames)  # [B*T, 1, M, C]
         tokens = code.reshape(B, T, self.dim)[:, None]  # [B, 1, T, M*C]
+        if self.finetune_encoder:
+            return tokens
         return jax.lax.stop_gradient(tokens)
 
     def target_slice(self, x, y):
         """Ground-truth slice weights from encoding the target frame."""
         _, w = self.encoder.encode(x, y)
+        if self.finetune_encoder:
+            return w
         return jax.lax.stop_gradient(w)  # [B, 1, N, M]
 
     # --- temporal transformer ---------------------------------------------
