@@ -60,7 +60,14 @@ def _rel(a, b):
     return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
 
 
-@pytest.mark.parametrize("shape", [(16, 16, 64, 4, 8), (17, 12, 32, 2, 16)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (16, 16, 64, 4, 8),   # R | H: unpadded fast path
+        (17, 12, 32, 2, 16),  # prime H: padded masked row tail
+        (12, 10, 32, 2, 8),   # H < padded R (single padded row block)
+    ],
+)
 def test_forward_parity(shape):
     H, W, C, heads, G = shape
     block, variables, fx = _setup(H, W, C, heads, G)
@@ -98,6 +105,38 @@ def test_gradient_parity():
     gmp_ref = _extract_params(gtree)
     for key in gmp:
         # 1e-4: f32 accumulation-order noise on near-cancelling slice grads
+        assert _rel(gmp[key], gmp_ref[key]) < 1e-4, key
+
+
+def test_gradient_parity_padded_tail():
+    """Full fwd+bwd parity when R does not divide H (masked row tail).
+
+    H=12 forces padding (no multiple-of-8 divisor): the padded rows must
+    contribute nothing to slice tokens/norms, parameter gradients, or the
+    input gradient."""
+    H, W, C, heads, G = 12, 10, 32, 2, 8
+    block, variables, fx = _setup(H, W, C, heads, G)
+    mp = _extract_params(variables["params"])
+    ct = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, H * W, C)), jnp.float32
+    )
+
+    def loss_ref(fx_, tree):
+        return jnp.sum(block.apply({"params": tree}, fx_) * ct)
+
+    def loss_mega(fx_, mp_):
+        out = pallas_block.fused_transolver_block(
+            fx_, mp_, grid_shape=(H, W), heads=heads, slice_num=G,
+            mlp_hidden=C * 2,
+        )
+        return jnp.sum(out * ct)
+
+    gfx_ref, gtree = jax.grad(loss_ref, argnums=(0, 1))(fx, variables["params"])
+    gfx, gmp = jax.grad(loss_mega, argnums=(0, 1))(fx, mp)
+
+    assert _rel(gfx, gfx_ref) < 1e-5
+    gmp_ref = _extract_params(gtree)
+    for key in gmp:
         assert _rel(gmp[key], gmp_ref[key]) < 1e-4, key
 
 
@@ -141,32 +180,33 @@ def test_supported_gates():
     assert not pallas_block.supported(
         (2, 256, 64), jnp.float32, (16, 16, 4), 4, 8, 128
     )
-    # prime row count (plasticity's 101x31) -> only R=1 divides H, and the
-    # halo kernels need R >= 2: must fall back to XLA rather than trace-fail
-    assert pallas_block._pick_row_block(101, 31, 128, 512) is None
-    assert not pallas_block.supported(
-        (8, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 128
-    )
 
 
-def test_supported_mosaic_divisibility(monkeypatch):
-    """Row/flat blocks must satisfy Mosaic's second-minor %8 rule on TPU.
+def test_padded_tail_plans():
+    """All four previously XLA-only benchmark grids get masked-tail plans.
 
-    Regression: darcy-hires (85^2) picked R=17 and failed pallas lowering
-    ('block shape ... divisible by 8') instead of falling back to XLA.
-    Interpret mode (CPU) has no such constraint, so force the TPU branch.
+    Round-3 regression history: darcy-hires (85^2) picked R=17 and failed
+    Mosaic lowering ('block shape ... divisible by 8'); then R was
+    restricted to multiple-of-8 divisors, which excluded 85/101/129/221
+    entirely.  The masked row tail (pad H to the next multiple of R,
+    ``_row_validity`` + w-mask) now covers them; every plan's R must still
+    honor the %8 rule and Hp must be the least padded multiple.
     """
-    monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
-    # 85 = 5*17: no divisor >= 2 that is a multiple of 8 -> unsupported
-    assert pallas_block._pick_row_block(85, 85, 128, 512) is None
-    # 85^2 = 5^2*17^2: no flat divisor that is a multiple of 8 either
-    assert pallas_block._pick_flat_block(85 * 85, 128, 512, 256) is None
-    assert not pallas_block.supported(
-        (4, 85 * 85, 128), jnp.float32, (85, 85), 8, 64, 256
-    )
-    # pipe's 129 = 3*43 and airfoil's 221 = 13*17: same story
-    assert pallas_block._pick_row_block(129, 129, 128, 512) is None
-    assert pallas_block._pick_row_block(221, 51, 128, 512) is None
-    # the flagship 64^2 grid keeps a valid (multiple-of-8) row block
-    assert pallas_block._pick_row_block(64, 64, 256, 256) % 8 == 0
-    assert pallas_block._pick_flat_block(64 * 64, 256, 256, 512) % 8 == 0
+    for Hrows, W, C, G in [
+        (85, 85, 128, 64),    # darcy-hires
+        (101, 31, 128, 64),   # plasticity
+        (129, 129, 128, 64),  # pipe
+        (221, 51, 128, 64),   # airfoil
+    ]:
+        plan = pallas_block._plan_blocks(Hrows, W, C, 8 * G, 256)
+        assert plan is not None, (Hrows, W)
+        R, Hp, Rn = plan
+        assert R % 8 == 0 and Rn % 8 == 0
+        assert Hp % R == 0 and Hp >= Hrows and Hp - Hrows < R
+        assert (Hp * W) % Rn == 0
+        assert pallas_block.supported(
+            (4, Hrows * W, C), jnp.bfloat16, (Hrows, W), 8, G, 256
+        )
+    # the flagship 64^2 grid keeps its unpadded plan
+    R, Hp, Rn = pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512)
+    assert Hp == 64 and 64 % R == 0

@@ -50,7 +50,7 @@ def per_frame_metrics(pred, yy):
     return np.stack(sse, -1), np.stack(rel, -1)  # [B, T_OUT]
 
 
-def eval_merged(name, encoder_path, test_a, test_u):
+def eval_merged(name, encoder_path, test_a, test_u, M=16, C=32):
     from transformerbasednavierstokesolver_tpu.cli.sequen_solver import (
         load_encoder_params, seq_ckpt,
     )
@@ -64,7 +64,7 @@ def eval_merged(name, encoder_path, test_a, test_u):
         restore_params,
     )
 
-    model = SequenSolverMerged(T=T_IN, H=H, W=H, M=16, C=32, layers=8,
+    model = SequenSolverMerged(T=T_IN, H=H, W=H, M=M, C=C, layers=8,
                                sequential_head=16, encoder_layers=8)
     pos = unified_pos_grid_2d(H, H, 8)
     b = test_a.shape[0]
@@ -122,6 +122,8 @@ def main():
     ap.add_argument("--flagship", default="ns_flagship_r3b")
     ap.add_argument("--flagship_hidden", type=int, default=256)
     ap.add_argument("--flagship_slices", type=int, default=32)
+    ap.add_argument("--latent_m", type=int, default=16)
+    ap.add_argument("--latent_c", type=int, default=32)
     ap.add_argument("--synth_n", type=int, default=1200)
     ap.add_argument("--ntest", type=int, default=10)
     args = ap.parse_args()
@@ -141,7 +143,8 @@ def main():
     out = {}
     for label, fn in (
         ("merged", lambda: eval_merged(args.merged, args.encoder,
-                                       jnp.asarray(test_a), jnp.asarray(test_u))),
+                                       jnp.asarray(test_a), jnp.asarray(test_u),
+                                       args.latent_m, args.latent_c)),
         ("flagship", lambda: eval_flagship(args.flagship, jnp.asarray(test_a),
                                            jnp.asarray(test_u),
                                            args.flagship_hidden,

@@ -62,6 +62,14 @@ def build_argparser():
     p.add_argument("--layers", type=int, default=None,
                    help="temporal layers (default: 8 merged / 5 original)")
     p.add_argument("--encoder_layers", type=int, default=8)
+    p.add_argument("--latent_m", type=int, default=16,
+                   help="latent slice-token count M (reference fixes 16, "
+                        "SequenSolverMerged.ipynb; the r4 budget study "
+                        "widens to 32 -- VERDICT item 5)")
+    p.add_argument("--latent_c", type=int, default=32,
+                   help="latent code width C per token (reference fixes 32; "
+                        "the matching auto_encoder run must use "
+                        "--n-hidden C --slice_num M)")
     # observability/restart extras shared with the field trainers
     # (cli/common.py conventions): the 400-sim merged run is >1 h under the
     # relay, so losing it to a transport hiccup is not acceptable
@@ -124,13 +132,15 @@ def main(argv=None):
         pos2d = np.stack([mx.ravel(), my.ravel()], -1)[None]
 
     if args.variant == "merged":
-        model = SequenSolverMerged(T=T_IN, H=H, W=W, M=16, C=32,
+        model = SequenSolverMerged(T=T_IN, H=H, W=W,
+                                   M=args.latent_m, C=args.latent_c,
                                    layers=args.layers or 8,
                                    sequential_head=16,
                                    encoder_layers=args.encoder_layers)
         x_feat = pos
     else:
-        model = SequenSolver(T=T_IN, H=H, W=W, M=16, C=32,
+        model = SequenSolver(T=T_IN, H=H, W=W,
+                             M=args.latent_m, C=args.latent_c,
                              layers=args.layers or 8,
                              encoder_layers=args.encoder_layers)
         x_feat = pos2d

@@ -375,16 +375,22 @@ def load_elasticity(data_path, ntrain=1000, ntest=200, synth_n=None):
         _warn_synth("elasticity", ps)
         n = (synth_n or 64) + max((synth_n or 64) // 4, 8)
         n_pts = 972
+        # TBNSS_ELAS_SAMPLING=iface: near-interface sampling regime
+        # (VERDICT round-4 item 6; solvers.elasticity_sample docstring)
+        sampling = os.environ.get("TBNSS_ELAS_SAMPLING", "band")
+        key = f"elas_fem_n{n}" if sampling == "band" else \
+            f"elas_fem_{sampling}_n{n}"
 
         def build():
             # plane-stress FEM on random void cells (solvers.py), replacing
             # the round-1 parametric toy (VERDICT item 3)
             from .solvers import generate_elasticity_dataset
 
-            xy_, vm_ = generate_elasticity_dataset(3, n, n_pts=n_pts)
+            xy_, vm_ = generate_elasticity_dataset(3, n, n_pts=n_pts,
+                                                   sampling=sampling)
             return dict(xy=xy_, sigma=vm_)
 
-        z = _cache(f"elas_fem_n{n}", build)
+        z = _cache(key, build)
         sigma, xy = z["sigma"], z["xy"]
         ntrain = min(ntrain, synth_n or 64)
         ntest = min(ntest, sigma.shape[0] - ntrain)

@@ -225,10 +225,22 @@ def von_mises_plane(strain, e_elem, nu=0.3, plane_stress=True):
     )
 
 
-def element_to_node(vals, s1, s2):
-    """Average element quantities [nE, ...] to nodes [s1, s2, ...]."""
+def element_to_node(vals, s1, s2, weights=None):
+    """Average element quantities [nE, ...] to nodes [s1, s2, ...].
+
+    ``weights`` ([nE], optional) makes the average element-weighted: used
+    by the elasticity near-interface regime to average stress one-sidedly
+    at a material discontinuity (weighting by the element modulus lets the
+    soft void elements contribute ~0 instead of polluting interface nodes
+    with their near-zero stress — the O(1) mixing noise that forced the
+    round-1..3 interface exclusion band, solvers.elasticity_sample)."""
     v = vals.reshape(s1 - 1, s2 - 1, *vals.shape[1:])
-    ones = jnp.ones((s1 - 1, s2 - 1) + (1,) * (vals.ndim - 1))
+    if weights is None:
+        w = jnp.ones((s1 - 1, s2 - 1) + (1,) * (vals.ndim - 1))
+    else:
+        w = weights.reshape(s1 - 1, s2 - 1).reshape(
+            (s1 - 1, s2 - 1) + (1,) * (vals.ndim - 1))
+        v = v * w
     num = jnp.zeros((s1, s2) + vals.shape[1:])
     den = jnp.zeros((s1, s2) + (1,) * (vals.ndim - 1))
     for sl in (
@@ -238,7 +250,7 @@ def element_to_node(vals, s1, s2):
         (slice(None, -1), slice(1, None)),
     ):
         num = num.at[sl].add(v)
-        den = den.at[sl].add(ones)
+        den = den.at[sl].add(w)
     return num / den
 
 

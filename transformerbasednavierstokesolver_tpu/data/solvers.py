@@ -63,7 +63,7 @@ def _void_modulus(grid_s, rng, e_solid=1.0, e_void=1e-3):
 
 
 @functools.lru_cache(maxsize=4)
-def _elas_solver(grid_s, tension):
+def _elas_solver(grid_s, tension, weighted=False):
     t = np.linspace(0, 1, grid_s)
     X, Y = np.meshgrid(t, t, indexing="ij")
     nodes = jnp.asarray(np.stack([X, Y], -1), jnp.float32)
@@ -84,29 +84,57 @@ def _elas_solver(grid_s, tension):
         )
         strain = fem.element_strain(nodes, u)
         vm_e = fem.von_mises_plane(strain, e_elem, nu=0.3)
-        return fem.element_to_node(vm_e[:, None], grid_s, grid_s)[..., 0]
+        # weighted: modulus-weighted nodal averaging = one-sided stress at
+        # the void interface (see fem.element_to_node)
+        w = e_elem if weighted else None
+        return fem.element_to_node(vm_e[:, None], grid_s, grid_s,
+                                   weights=w)[..., 0]
 
     return solve
 
 
 def elasticity_sample(rng, grid_s=64, n_pts=972, tension=100.0,
-                      e_solid=2.0e5):
+                      e_solid=2.0e5, sampling="band"):
     """One void-cell sample -> (xy [n_pts, 2], sigma_vm [n_pts]).
 
-    Points within ~1.5 cells of the void interface are excluded: the
-    soft-inclusion FD stress there carries O(1) discretization noise that
-    no operator can recover from 972 point samples (it showed up as an
-    irreducible ~0.3 rel-L2 floor at grid_s=48 with interface sampling).
+    Two sampling regimes:
+
+    * ``"band"`` (round-1..3 default): points within ~1.5 cells of the
+      void interface are excluded — the MIXED nodal stress average there
+      carries O(1) discretization noise that no operator can recover from
+      972 point samples (an irreducible ~0.3 rel-L2 floor at grid_s=48).
+    * ``"iface"`` (round 4, VERDICT item 6): the reference's point clouds
+      concentrate near the void boundary
+      (``/root/reference/exp_elas.py:54-60`` — Random_UnitCell_XY are
+      body-fitted mesh nodes), so the band exclusion trains on the wrong
+      distribution.  The mixing noise is removed at the SOURCE instead:
+      modulus-weighted nodal averaging gives a one-sided (material-side)
+      stress at interface nodes, only true void-interior nodes are
+      dropped, and sampling is importance-weighted 4x within 3 cells of
+      the interface to mirror the reference's concentration.
     """
     e_elem, node_in = _void_modulus(grid_s, rng, e_solid, e_solid * 1e-3)
     t = np.linspace(0, 1, grid_s)
     X, Y = np.meshgrid(t, t, indexing="ij")
-    vm = np.asarray(_elas_solver(grid_s, tension)(jnp.asarray(e_elem)))
+    iface = sampling == "iface"
+    vm = np.asarray(
+        _elas_solver(grid_s, tension, weighted=iface)(jnp.asarray(e_elem)))
+
+    from scipy.ndimage import binary_dilation
+
+    if iface:
+        keep = ~node_in  # material nodes only; interface stress is clean
+        band = binary_dilation(node_in, iterations=3) & keep
+        cand = np.stack([X[keep], Y[keep]], -1)
+        vals = vm[keep]
+        p = np.where(band[keep], 4.0, 1.0)
+        p /= p.sum()
+        idx = rng.choice(cand.shape[0], size=n_pts,
+                         replace=cand.shape[0] < n_pts, p=p)
+        return cand[idx].astype(np.float32), vals[idx].astype(np.float32)
 
     # exclude the interface band: nodes whose 5x5 neighborhood mixes
     # void and material
-    from scipy.ndimage import binary_dilation
-
     near = binary_dilation(node_in, iterations=2)
     keep = ~near
     # sample material points (outside the void), reproducible density
@@ -119,11 +147,12 @@ def elasticity_sample(rng, grid_s=64, n_pts=972, tension=100.0,
     return cand[idx].astype(np.float32), vals[idx].astype(np.float32)
 
 
-def generate_elasticity_dataset(seed, n_samples, grid_s=64, n_pts=972):
+def generate_elasticity_dataset(seed, n_samples, grid_s=64, n_pts=972,
+                                sampling="band"):
     rng = np.random.default_rng(seed)
     xys, sig = [], []
     for _ in range(n_samples):
-        xy, vm = elasticity_sample(rng, grid_s, n_pts)
+        xy, vm = elasticity_sample(rng, grid_s, n_pts, sampling=sampling)
         xys.append(xy)
         sig.append(vm)
     return np.stack(xys), np.stack(sig)

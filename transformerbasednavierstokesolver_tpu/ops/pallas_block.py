@@ -25,13 +25,17 @@ tested in ``tests/test_pallas_block.py``.
 
 Layout notes (shared with ``pallas_attention_v2``): C = heads*dim_head lanes,
 HG = heads*slice_num packed lanes; per-head softmax via segment one-hots;
-block-diagonal expanded slice kernel / tokens.  The row-block size R must
-be a divisor >= 2 of the grid height H that is also a multiple of 8
-(Mosaic's second-minor block rule) — true for the 64^2 NS/Darcy-direct
-grids; heights without such a divisor (85, 101, 129, 221: Darcy-hires,
-plasticity, pipe, airfoil) fall back to the XLA block via ``supported``.
-The conv halo is assembled from two adjacent row blocks, so no manual DMA
-is needed.
+block-diagonal expanded slice kernel / tokens.  The row-block size R is a
+multiple of 8 (Mosaic's second-minor block rule); when R does not divide
+the grid height H (85, 101, 129, 221: Darcy-hires, plasticity, pipe,
+airfoil) the grid is zero-padded to the next multiple and the tail rows
+are masked -- ``_row_validity`` already carries row validity into every
+kernel for the conv halo, and zeroing the padded rows' slice weights in
+``_front_kernel`` makes every other padding term vanish (w == 0 kills the
+tok/norm sums forward and all dW/dXF paths backward; the padded rows'
+outputs are sliced away outside the custom_vjp, so their cotangents are
+exactly zero).  The conv halo is assembled from two adjacent row blocks,
+so no manual DMA is needed.
 """
 
 import functools
@@ -154,7 +158,8 @@ def _front_kernel(x1_ref, x2_ref, rm1_ref, rm2_ref, g1_ref, b1_ref,
     # assemble the (R+2)-row halo block from two adjacent R-row blocks
     xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
     y, _, _ = _ln_fwd(xa, g1_ref[0], b1_ref[0])
-    y = (y * _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)).astype(cdt)
+    mask = _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)
+    y = (y * mask).astype(cdt)
 
     acc = jnp.broadcast_to(cb_ref[0], (R * W, 2 * C)).astype(jnp.float32)
     for dy in range(3):
@@ -169,6 +174,11 @@ def _front_kernel(x1_ref, x2_ref, rm1_ref, rm2_ref, g1_ref, b1_ref,
     logits = jnp.dot(x_mid, kexp_ref[:].astype(cdt),
                      preferred_element_type=jnp.float32) + bexp_ref[0]
     w = _softmax_packed(logits, invt_ref[0], seg_ref[:])
+    # Zero the slice weights of invalid center rows (the masked row tail
+    # when R does not divide H): they then contribute nothing to the slice
+    # tokens/norms here, and w == 0 kills every padding-row term in the
+    # backward kernels (see _fused_block_bwd) without further masking.
+    w = w * mask[1:1 + R, 1:1 + W].reshape(R * W, 1)
     w_ref[0] = w.astype(w_ref.dtype)
 
     @pl.when(j == 0)
@@ -344,8 +354,8 @@ def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, rm1_ref, rm2_ref,
     j = pl.program_id(1)
     xa = jnp.concatenate([x1_ref[0], x2_ref[0, :2]], axis=0).astype(jnp.float32)
     _, xhat, rs = _ln_fwd(xa, g1_ref[0], b1_ref[0])
-    y = ((xhat * g1_ref[0] + b1_ref[0])
-         * _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)).astype(cdt)
+    mask = _mask_from_rows(rm1_ref[:], rm2_ref[:], R, W)
+    y = ((xhat * g1_ref[0] + b1_ref[0]) * mask).astype(cdt)
 
     da = jnp.concatenate([d1_ref[0], d2_ref[0, :2]], axis=0).astype(cdt)
     # dxf halo local coords: row ell <-> original dxf row (jR - 1 + ell)
@@ -373,8 +383,12 @@ def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, rm1_ref, rm2_ref,
                 preferred_element_type=jnp.float32,
             )
 
-    # LN1 backward on the center rows (halo rows belong to neighboring blocks)
-    dyg = dy_acc.reshape(R, W, C)
+    # LN1 backward on the center rows (halo rows belong to neighboring
+    # blocks).  dy_acc is the gradient wrt the MASKED y: the conv-transpose
+    # pulls from valid dxf neighbors, so a masked-tail center row can
+    # receive a nonzero dy_acc -- the mask's own backward (zeroing) must be
+    # applied before it feeds LN1's input/scale/bias gradients.
+    dyg = dy_acc.reshape(R, W, C) * mask[1:1 + R, 1:1 + W]
     xhat_c = xhat[1:1 + R, 1:1 + W, :]
     rs_c = rs[1:1 + R, 1:1 + W, :]
     dx = _ln_bwd(dyg, xhat_c, rs_c, g1_ref[0])
@@ -388,8 +402,8 @@ def _bwd_conv_kernel(x1_ref, x2_ref, d1_ref, d2_ref, rm1_ref, rm2_ref,
 # --------------------------------------------------------------------------
 
 
-def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
-    """Largest divisor R of H whose kernels fit Mosaic's 16 MB scoped VMEM.
+def _row_budget_ok(r, W, C, HG, budget_bytes):
+    """Whether row-block r fits Mosaic's scoped VMEM with headroom.
 
     The kernels request a raised scoped-VMEM cap (``_VMEM_LIMIT``); the
     budget here keeps blocks well under it so Mosaic retains headroom for
@@ -398,49 +412,78 @@ def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
     dKc accumulator, and all nine live conv windows; measured 17-25 MB at
     the flagship shape).
     """
+    halo = (r + 2) * (W + 2)
+    fwd = 4 * (2 * halo * C + 6 * r * W * C + 3 * r * W * HG)
+    bwd = 4 * (12 * halo * C + 5 * r * W * C + 18 * C * C)
+    return max(fwd, bwd) <= budget_bytes
+
+
+def _pick_row_block(Hrows, W, C, HG, budget_bytes=40 * 1024 * 1024):
+    """Row-block R (multiple of 8, Mosaic's second-minor rule) for H rows.
+
+    Exact divisors of H are preferred (no padding; largest one fitting the
+    VMEM budget, the round-2/3 behavior).  Otherwise ANY multiple of 8
+    works: ``_pad_rows`` already zero-pads H up to nb*R rows, and the
+    masked row tail (``_row_validity`` + the w-mask in ``_front_kernel``)
+    keeps the padded rows out of the slice statistics, so heights like 85
+    (darcy-hires), 101 (plasticity), 129 (pipe) or 221 (airfoil) run the
+    megakernel instead of falling back to XLA.  Among padded candidates:
+    least padded rows first (least wasted compute), then the larger R
+    (fewer grid steps).  Returns None only when nothing fits the budget.
+    """
     best = None
-    # R=1 would make the two-row halo refs smaller than the window the
-    # conv/mask kernels slice from them (_mask_from_rows assumes R >= 2);
-    # prime row counts (plasticity's 101) therefore fall back to XLA
-    require_8 = not _interpret()
-    for r in range(2, min(Hrows, 64) + 1):
-        if Hrows % r:
-            continue
-        if require_8 and r % 8:
-            # Mosaic requires the second-minor block dim be a multiple of 8
-            # (or equal the array dim -- never true here: the padded halo
-            # refs hold (nb+1)*R rows).  85^2 darcy-hires picks R=17
-            # otherwise and fails lowering; interpret mode has no such rule.
-            continue
-        halo = (r + 2) * (W + 2)
-        fwd = 4 * (2 * halo * C + 6 * r * W * C + 3 * r * W * HG)
-        bwd = 4 * (12 * halo * C + 5 * r * W * C + 18 * C * C)
-        if max(fwd, bwd) <= budget_bytes:
+    for r in range(8, min(Hrows, 64) + 1, 8):
+        if Hrows % r == 0 and _row_budget_ok(r, W, C, HG, budget_bytes):
             best = r
-    return best
+    if best is not None:
+        return best
+    cand = []
+    for r in range(8, min(((Hrows + 7) // 8) * 8, 64) + 1, 8):
+        if _row_budget_ok(r, W, C, HG, budget_bytes):
+            hp = -(-Hrows // r) * r
+            cand.append((hp, -r, r))
+    return min(cand)[2] if cand else None
 
 
 def _pick_flat_block(N, C, HG, M, budget_bytes=40 * 1024 * 1024):
     """Largest divisor of N whose flat kernels fit the scoped-VMEM limit.
 
-    Binding constraint is the bwd-back kernel: ~2 [*, HG] weight-row copies,
-    ~10 [*, C] activation/grad rows, ~4 [*, M] MLP intermediates (f32),
-    calibrated against Mosaic OOM reports (flagship: Rn=2048 -> 33 MB,
-    Rn=1024 -> 17.3 MB, so ~16 KB/row + constant).  The budget is kept at
-    40 MB although the raised VMEM cap admits more: measured end-to-end,
+    N here is the row-PADDED point count nb*R*W (R a multiple of 8), so a
+    multiple-of-8 divisor always exists.  Binding constraint is the
+    bwd-back kernel: ~2 [*, HG] weight-row copies, ~10 [*, C]
+    activation/grad rows, ~4 [*, M] MLP intermediates (f32), calibrated
+    against Mosaic OOM reports (flagship: Rn=2048 -> 33 MB, Rn=1024 ->
+    17.3 MB, so ~16 KB/row + constant).  The budget is kept at 40 MB
+    although the raised VMEM cap admits more: measured end-to-end,
     R=16/Rn=2048 beats R=32/Rn=4096 by ~8% (smaller blocks double-buffer
     better inside the grid pipeline).
     """
     row_bytes = 4 * (2 * HG + 10 * C + 4 * M)
     cap = max(budget_bytes // row_bytes, 8)
     best = None
-    require_8 = not _interpret()
     for b in range(8, min(2048, N, cap) + 1):
-        if N % b == 0 and not (require_8 and b % 8 and b != N):
-            # same Mosaic second-minor rule as _pick_row_block (b == N makes
-            # the block equal the array dim, which Mosaic always allows)
+        if N % b == 0 and not (b % 8 and b != N):
+            # multiple-of-8 second-minor rule (b == N makes the block equal
+            # the array dim, which Mosaic always allows)
             best = b
     return best
+
+
+def _plan_blocks(Hrows, W, C, HG, M):
+    """(R, Hp, Rn) row block / padded height / flat block, or None.
+
+    Hp == Hrows when R divides H (no padding); otherwise the fused path
+    zero-pads the grid to Hp rows and masks the tail (see
+    ``fused_transolver_block``).
+    """
+    R = _pick_row_block(Hrows, W, C, HG)
+    if R is None:
+        return None
+    Hp = -(-Hrows // R) * R
+    Rn = _pick_flat_block(Hp * W, C, HG, M)
+    if Rn is None:
+        return None
+    return R, Hp, Rn
 
 
 def _interpret():
@@ -651,11 +694,7 @@ def supported(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
     if mesh is not None:
         return _sharded_cfg(fx_shape, dtype, grid_shape, heads, slice_num,
                             mlp_hidden, True, mesh) is not None
-    if _pick_row_block(Hrows, W, C, HG) is None:
-        return False
-    if _pick_flat_block(N, C, HG, mlp_hidden) is None:
-        return False
-    return True
+    return _plan_blocks(Hrows, W, C, HG, mlp_hidden) is not None
 
 
 def _active_mesh():
@@ -665,14 +704,17 @@ def _active_mesh():
 
 
 def _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden, clamp):
+    """Single-device cfg.  ``cfg.grid_shape`` holds the row-PADDED height
+    Hp (== H when R | H); ``cfg.htot`` keeps the TRUE height so
+    ``_row_validity`` marks the padded tail rows invalid."""
     Hrows, W = grid_shape
     C = fx.shape[-1]
     HG = heads * slice_num
+    R, Hp, Rn = _plan_blocks(Hrows, W, C, HG, mlp_hidden)
     return _Cfg(
-        tuple(grid_shape), heads, slice_num, mlp_hidden, clamp,
+        (Hp, W), heads, slice_num, mlp_hidden, clamp,
         jnp.bfloat16 if fx.dtype == jnp.bfloat16 else jnp.float32,
-        _pick_row_block(Hrows, W, C, HG),
-        _pick_flat_block(Hrows * W, C, HG, mlp_hidden),
+        R, Rn, htot=Hrows,
     )
 
 
@@ -996,20 +1038,28 @@ def _smap(f, mesh, in_specs, out_specs):
 
 def _sharded_cfg(fx_shape, dtype, grid_shape, heads, slice_num, mlp_hidden,
                  clamp, mesh):
-    """Per-shard _Cfg for the mesh, or None if shapes don't shard cleanly."""
+    """Per-shard _Cfg for the mesh, or None if shapes don't shard cleanly.
+
+    ``cfg.grid_shape`` is the per-shard PADDED height Hlp (a multiple of
+    the row block R; the caller pads the global grid to s*Hlp rows);
+    ``cfg.htot`` stays the global TRUE height, so only the tail shard's
+    padding rows go invalid in ``_row_validity``.
+    """
     d, s = _mesh_factors(mesh)
     B, N, C = fx_shape
     Hrows, W = grid_shape
-    if B % d or Hrows % s:
+    if B % d:
         return None
-    Hl = Hrows // s
     HG = heads * slice_num
-    R = _pick_row_block(Hl, W, C, HG)
-    Rn = _pick_flat_block(Hl * W, C, HG, mlp_hidden)
-    if R is None or Rn is None:
+    # Plan on the even per-shard share; pad the share up to a multiple of
+    # the chosen R (also covers Hrows % s != 0: the global grid is padded
+    # to s * Hlp rows and the tail masked).
+    plan = _plan_blocks(-(-Hrows // s), W, C, HG, mlp_hidden)
+    if plan is None:
         return None
+    R, Hlp, Rn = plan
     return _Cfg(
-        (Hl, W), heads, slice_num, mlp_hidden, clamp,
+        (Hlp, W), heads, slice_num, mlp_hidden, clamp,
         jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32, R, Rn,
         htot=Hrows,
         data_axis="data" if d > 1 else None,
@@ -1077,6 +1127,7 @@ def fused_transolver_block(fx, params, *, grid_shape, heads, slice_num,
     wq/wk/wv [D,D], out_kernel [C,C], out_bias [C], ln2_scale/bias,
     w1 [C,M], b1 [M], w2 [M,C], b2 [C].
     """
+    Hrows, W = grid_shape
     mesh = _active_mesh()
     if mesh is not None:
         cfg = _sharded_cfg(
@@ -1084,7 +1135,27 @@ def fused_transolver_block(fx, params, *, grid_shape, heads, slice_num,
             clamp_temperature, mesh,
         )
         if cfg is not None:
-            return _fused_block_sharded(fx, params, cfg, mesh)
+            fx_p, n_true = _pad_grid_rows(fx, Hrows, W,
+                                          cfg.grid_shape[0] * cfg.space_size)
+            out = _fused_block_sharded(fx_p, params, cfg, mesh)
+            return out if out.shape[1] == n_true else out[:, :n_true]
     cfg = _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden,
                     clamp_temperature)
-    return _fused_block(fx, params, cfg)
+    fx_p, n_true = _pad_grid_rows(fx, Hrows, W, cfg.grid_shape[0])
+    out = _fused_block(fx_p, params, cfg)
+    return out if out.shape[1] == n_true else out[:, :n_true]
+
+
+def _pad_grid_rows(fx, Hrows, W, Hp):
+    """Zero-pad [B, H*W, C] to [B, Hp*W, C] along the row-major grid rows.
+
+    The masked tail (``_row_validity``/w-mask in the kernels) makes the
+    padding rows inert: zero slice weights forward, zero cotangents
+    backward (the caller's slice transposes to a zero-pad), so values and
+    gradients match the unpadded XLA block on the true H rows exactly.
+    """
+    B, N, C = fx.shape
+    if Hp == Hrows:
+        return fx, N
+    pad = (Hp - Hrows) * W
+    return jnp.pad(fx, ((0, 0), (0, pad), (0, 0))), N
