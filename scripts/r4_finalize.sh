@@ -21,12 +21,13 @@ kill_tree "$(cat /tmp/exp3d.pid 2>/dev/null)"
 sleep 20
 
 git add -f checkpoints/plas900_r4.ckpt checkpoints/plas900_r4.state \
-        checkpoints/ns3d_r4.ckpt 2>/dev/null
+        checkpoints/ns3d_r4.ckpt checkpoints/ns3d_r4b.ckpt 2>/dev/null
 git add data/synthetic/chunks/airfoil_tsn_*.npz \
         logs/plas900_r4.jsonl logs/plas900_r4.log logs/host_gen_r4.log \
         logs/exp3d_r4.jsonl logs/exp3d_r4.log logs/r4_queue.log \
+        logs/exp3d_r4b.jsonl logs/exp3d_r4b.log logs/r4_finalize.log \
         logs/ns_flagship_r4.jsonl logs/ns_flagship_r4.log \
-        logs/r4_final_tests.log scripts/exp3d_r4.sh scripts/r4_finalize.sh \
+        logs/r4_final_tests.log \
         2>/dev/null
 git commit -q -m "r4 endgame: stop relay clients, bank checkpoints and final logs
 
