@@ -98,7 +98,12 @@ def main():
     # either way ("platform" marks the downgrade).  This host has ONE
     # 2.1 GHz core (~1 GFLOP/s measured): the flagship step is ~2.8
     # TFLOP/sample, so shrink the whole config there, not just the batch.
-    bsz = int(os.environ.get("BENCH_BATCH") or ("2" if on_cpu else "8"))
+    # TPU default batch: 32, promoted from the round-3 sweep
+    # (logs/bench_r3_batchsweep.log: batch 8/16/32 -> 28.97/29.57/29.78
+    # samples/s/chip; MFU 0.409/0.418/0.421).  Throughput saturates with
+    # batch as the per-step scan bookkeeping and G x G glue amortize;
+    # BENCH_BATCH=8 reproduces the round-1..3 lineage config.
+    bsz = int(os.environ.get("BENCH_BATCH") or ("2" if on_cpu else "32"))
     n_steps = int(os.environ.get("BENCH_STEPS") or ("1" if on_cpu else "20"))
     if on_cpu:
         os.environ.setdefault("BENCH_LAYERS", "2")

@@ -34,7 +34,9 @@ git commit -q -m "r4 endgame: stop relay clients, bank checkpoints and final log
 No-Verification-Needed: run-artifact banking at round end, no source change" || true
 
 # one warm bench so the driver's BENCH_r04 run compiles from cache
-timeout 1200 python bench.py > logs/bench_r4_warm.json 2> logs/bench_r4_warm.log
+# (the batch-32 default is a fresh program post-wipe: budget a full
+# 8-15 min remote compile)
+timeout 1800 python bench.py > logs/bench_r4_warm.json 2> logs/bench_r4_warm.log
 echo "BENCH_WARM_EXIT $?" >> logs/bench_r4_warm.log
 git add logs/bench_r4_warm.json logs/bench_r4_warm.log 2>/dev/null
 git commit -q -m "r4: warm bench probe before driver bench
