@@ -14,8 +14,10 @@
 #   E. NS <=0.10 attempt: needs a CHANGE vs the r3b 0.110 (2000-sim data
 #      extension via scripts/gen_ns_fno_ext.py --sims 2000, or a wider
 #      model) -- r3b was ALREADY pointwise (docs/ROUND_NOTES.md round 4)
-#   F. mega-vs-XLA bench_shapes rows at 85^2/129^2 + the 101x31
-#      slice-param-grad TPU probe (megakernel masked tail, item 4 tail)
+#   F. FIX the masked-tail slice_kernel gradient on compiled Mosaic --
+#      tools/probe_mega_param_grads.py FAILED at 101x31 on real TPU
+#      (rel 0.77; input grad clean; CPU interpret passes).  Then re-probe
+#      all three shapes and take the mega-vs-XLA bench_shapes rows.
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p logs checkpoints
