@@ -210,3 +210,33 @@ def test_padded_tail_plans():
     # the flagship 64^2 grid keeps its unpadded plan
     R, Hp, Rn = pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512)
     assert Hp == 64 and 64 % R == 0
+
+
+def test_padded_tail_gated_on_compiled_backends(monkeypatch):
+    """Padded plans require interpret mode or the TBNSS_MEGA_PADDED opt-in.
+
+    The r4 TPU probe showed the masked-tail slice-param gradient wrong on
+    compiled Mosaic (logs/probe_mega_params_r4.log); until the kernel fix
+    is chip-verified, compiled backends must fall back to the XLA block on
+    non-divisible heights instead of silently training with bad grads
+    (ADVICE r4, high).
+    """
+    monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
+    monkeypatch.delenv("TBNSS_MEGA_PADDED", raising=False)
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
+    assert not pallas_block.supported(
+        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
+    )
+    # divisible heights are unaffected
+    assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
+    # the opt-in restores the padded plan
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "1")
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
+    # unsupported shapes raise a clear error instead of a None-unpack
+    monkeypatch.delenv("TBNSS_MEGA_PADDED")
+    import pytest
+
+    with pytest.raises(ValueError, match="no kernel plan"):
+        pallas_block._make_cfg(
+            jnp.zeros((1, 101 * 31, 128)), (101, 31), 8, 64, 256, True
+        )

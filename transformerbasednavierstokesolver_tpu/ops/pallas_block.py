@@ -469,17 +469,35 @@ def _pick_flat_block(N, C, HG, M, budget_bytes=40 * 1024 * 1024):
     return best
 
 
+def _padded_ok():
+    """Whether the masked-tail (row-padded) plans may run on this backend.
+
+    The r4 TPU probe (logs/probe_mega_params_r4.log) found the
+    slice-parameter gradient of the padded path WRONG on compiled Mosaic
+    (rel 0.77 at 101x31) while CPU interpret passes, so padded plans are
+    allowed under interpret mode always and on compiled backends only via
+    the explicit ``TBNSS_MEGA_PADDED=1`` opt-in until the kernel-level fix
+    is TPU-verified (tools/probe_mega_param_grads.py).
+    """
+    import os
+
+    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "0") == "1"
+
+
 def _plan_blocks(Hrows, W, C, HG, M):
     """(R, Hp, Rn) row block / padded height / flat block, or None.
 
     Hp == Hrows when R divides H (no padding); otherwise the fused path
     zero-pads the grid to Hp rows and masks the tail (see
-    ``fused_transolver_block``).
+    ``fused_transolver_block``) -- gated by ``_padded_ok`` on compiled
+    backends.
     """
     R = _pick_row_block(Hrows, W, C, HG)
     if R is None:
         return None
     Hp = -(-Hrows // R) * R
+    if Hp != Hrows and not _padded_ok():
+        return None
     Rn = _pick_flat_block(Hp * W, C, HG, M)
     if Rn is None:
         return None
@@ -710,7 +728,15 @@ def _make_cfg(fx, grid_shape, heads, slice_num, mlp_hidden, clamp):
     Hrows, W = grid_shape
     C = fx.shape[-1]
     HG = heads * slice_num
-    R, Hp, Rn = _plan_blocks(Hrows, W, C, HG, mlp_hidden)
+    plan = _plan_blocks(Hrows, W, C, HG, mlp_hidden)
+    if plan is None:
+        raise ValueError(
+            f"fused_transolver_block: no kernel plan for grid {grid_shape} "
+            f"C={C} heads={heads} G={slice_num} M={mlp_hidden} on this "
+            "backend (shape exceeds the VMEM budget, or the masked-tail "
+            "path is gated off -- see _padded_ok); check supported() first"
+        )
+    R, Hp, Rn = plan
     return _Cfg(
         (Hp, W), heads, slice_num, mlp_hidden, clamp,
         jnp.bfloat16 if fx.dtype == jnp.bfloat16 else jnp.float32,
