@@ -69,6 +69,64 @@ def test_sharded_train_step_matches_single_device():
         )
 
 
+def test_sharded_multi_epoch_convergence_mega():
+    """VERDICT r4 item 9: beyond one-step equivalence -- a short multi-epoch
+    training run on the 4x2 (data, space) mesh with impl='mega' must track
+    the single-device XLA run's loss curve step for step AND the loss must
+    actually decrease, so the "trains correctly on 8 devices" claim is
+    backed by a convergence assertion rather than a single update."""
+    from transformerbasednavierstokesolver_tpu.parallel import set_active_mesh
+
+    h, t_in, t_out, bsz, steps = 16, 4, 2, 8, 6
+    kwargs = dict(
+        space_dim=2, n_layers=2, n_hidden=32, n_head=4, fun_dim=t_in,
+        out_dim=1, slice_num=8, ref=4, unified_pos=True, geometry="grid2d",
+        H=h, W=h,
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.zeros((bsz, h * h, 2))
+    fx = jnp.asarray(rng.normal(size=(bsz, h * h, t_in)), jnp.float32)
+    # a learnable target: smooth function of the inputs
+    yy = jnp.asarray(
+        np.cumsum(rng.normal(size=(bsz, h * h, t_out)), axis=-1) * 0.1
+        + np.asarray(fx)[..., -1:] * 0.5,
+        jnp.float32,
+    )
+    loss_fn = make_teacher_forced_loss(1)
+
+    def run(model, put, mesh=None):
+        tx = make_optimizer(3e-3, steps, 1e-5, 0.1)
+        state = create_train_state(
+            jax.random.PRNGKey(0), model, (x[:1], fx[:1]), tx
+        )
+        if mesh is not None:
+            state = state.replace(
+                params=replicate_params(mesh, state.params),
+                opt_state=replicate_params(mesh, state.opt_state),
+            )
+        update = make_update_fn(loss_fn, donate=False)
+        losses = []
+        for _ in range(steps):
+            state, (loss, _) = update(state, put(x), put(fx), put(yy))
+            losses.append(float(loss))
+        return losses
+
+    ref_losses = run(Transolver(impl="xla", **kwargs), lambda a: a)
+
+    mesh = make_mesh(data=4, space=2)
+    set_active_mesh(mesh)
+    try:
+        got_losses = run(
+            Transolver(impl="mega", **kwargs),
+            lambda a: shard_batch(mesh, a), mesh,
+        )
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-4)
+    assert got_losses[-1] < 0.7 * got_losses[0], got_losses
+
+
 def test_ns_256_spatially_sharded_forward():
     """The SURVEY section-7.6 target config: 256x256 NS grid with the mesh-point
     axis sharded over the 'space' axis.  Forward numerics must match the
