@@ -213,27 +213,32 @@ def test_padded_tail_plans():
 
 
 def test_padded_tail_gated_on_compiled_backends(monkeypatch):
-    """Padded plans require interpret mode or the TBNSS_MEGA_PADDED opt-in.
+    """Padded plans run on compiled backends; TBNSS_MEGA_PADDED=0 opts out.
 
-    The r4 TPU probe showed the masked-tail slice-param gradient wrong on
-    compiled Mosaic (logs/probe_mega_params_r4.log); until the kernel fix
-    is chip-verified, compiled backends must fall back to the XLA block on
-    non-divisible heights instead of silently training with bad grads
-    (ADVICE r4, high).
+    The r4 TPU probe's padded-grad FAIL (logs/probe_mega_params_r4.log)
+    was attributed in r5 to the XLA reference block's default-precision
+    bf16 matmul grads, not to the Mosaic lowering — with the reference at
+    matmul precision 'highest', every padded-path parameter grad matches
+    on the real chip (tools/probe_mega_precision.py,
+    logs/probe_mega_precision_r5.log, logs/probe_diag_hp_r5.log).  Padded
+    plans are therefore on by default everywhere, with an env opt-out
+    kept for A/B debugging.
     """
     monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
     monkeypatch.delenv("TBNSS_MEGA_PADDED", raising=False)
-    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
-    assert not pallas_block.supported(
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
+    assert pallas_block.supported(
         (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
     )
     # divisible heights are unaffected
     assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
-    # the opt-in restores the padded plan
-    monkeypatch.setenv("TBNSS_MEGA_PADDED", "1")
-    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
+    # the opt-out removes the padded plan (forces the XLA fallback)
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "0")
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
+    assert not pallas_block.supported(
+        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
+    )
     # unsupported shapes raise a clear error instead of a None-unpack
-    monkeypatch.delenv("TBNSS_MEGA_PADDED")
     import pytest
 
     with pytest.raises(ValueError, match="no kernel plan"):

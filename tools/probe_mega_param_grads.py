@@ -48,9 +48,18 @@ def probe(H, W, C, heads, G, B=2, seed=0):
         )
         return jnp.sum(out * ct)
 
-    gfx_ref, gtree = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(
-        fx, variables["params"])
-    gfx, gmp = jax.jit(jax.grad(loss_mega, argnums=(0, 1)))(fx, mp)
+    # Both grad sets must be computed at matmul precision 'highest': TPU
+    # default precision (single-pass bf16 MXU for f32 operands) perturbs
+    # the cancellation-heavy slice_kernel/temperature grads by O(1e-1) in
+    # BOTH implementations -- comparing a default-precision run of either
+    # side against anything measures bf16 roundoff, not kernel
+    # correctness.  That artifact was the r4 "Mosaic bug" false positive
+    # (logs/probe_mega_precision_r5.log attributes it; at 'highest' the
+    # two implementations agree to <=5.4e-5 on the real chip).
+    with jax.default_matmul_precision("highest"):
+        gfx_ref, gtree = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(
+            fx, variables["params"])
+        gfx, gmp = jax.jit(jax.grad(loss_mega, argnums=(0, 1)))(fx, mp)
     gmp_ref = _extract_params(gtree)
 
     worst_key, worst = "input", float(_rel(gfx, gfx_ref))
@@ -73,9 +82,9 @@ if __name__ == "__main__":
     if len(sys.argv) == 6:
         shapes = [tuple(int(a) for a in sys.argv[1:6])]
     else:
-        # plas (101x31, canonical C/h/G), darcy 85^2, pipe 129^2 at
-        # reduced width to bound compile time
-        shapes = [(101, 31, 128, 8, 64), (85, 85, 64, 4, 32),
-                  (129, 129, 64, 4, 32)]
+        # all four padded-tail benchmark grids at canonical width
+        # (scripts/Transolver_{Plas,Darcy,Pipe,Airfoil}.sh)
+        shapes = [(101, 31, 128, 8, 64), (85, 85, 128, 8, 64),
+                  (129, 129, 128, 8, 64), (221, 51, 128, 8, 64)]
     ok = all([probe(*s) for s in shapes])
     sys.exit(0 if ok else 1)

@@ -472,16 +472,26 @@ def _pick_flat_block(N, C, HG, M, budget_bytes=40 * 1024 * 1024):
 def _padded_ok():
     """Whether the masked-tail (row-padded) plans may run on this backend.
 
-    The r4 TPU probe (logs/probe_mega_params_r4.log) found the
-    slice-parameter gradient of the padded path WRONG on compiled Mosaic
-    (rel 0.77 at 101x31) while CPU interpret passes, so padded plans are
-    allowed under interpret mode always and on compiled backends only via
-    the explicit ``TBNSS_MEGA_PADDED=1`` opt-in until the kernel-level fix
-    is TPU-verified (tools/probe_mega_param_grads.py).
+    History: the r4 TPU probe (logs/probe_mega_params_r4.log) reported the
+    slice-parameter gradient of the padded path "wrong" on compiled Mosaic
+    (rel 0.77 at 101x31) while CPU interpret passed, and r4/early-r5 gated
+    the padded plans off compiled backends.  The r5 precision cross-probe
+    (tools/probe_mega_precision.py, logs/probe_mega_precision_r5.log)
+    attributed the whole discrepancy to TPU *default matmul precision*
+    (single-pass bf16 MXU for f32 operands), which perturbs the
+    cancellation-heavy slice_kernel/temperature grads in BOTH
+    implementations: at 101x31, mega(default) is 7.6e-1 from
+    mega(highest) and xla(default) is 4.2e-1 from xla(highest), while
+    mega(highest) vs xla(highest) agree to <=5.4e-5 on the real chip
+    (logs/probe_diag_hp_r5.log).  There was never a Mosaic lowering bug;
+    the padded path is exactly as accurate as the unpadded mega/XLA paths
+    every existing training run already uses.  Padded plans are therefore
+    enabled everywhere, with ``TBNSS_MEGA_PADDED=0`` kept as an explicit
+    opt-out for A/B debugging.
     """
     import os
 
-    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "0") == "1"
+    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "1") == "1"
 
 
 def _plan_blocks(Hrows, W, C, HG, M):
