@@ -41,6 +41,26 @@ def run_autoregressive(
     t_in = train_a.shape[-1]
     n = train_a.shape[1]
     bsz = args.batch_size
+    # --aug_roll: anti-diagonal torus translation augmentation.  The FNO NS
+    # forcing 0.1(sin+cos)(2pi(x+y)) is invariant under x->x+s, y->y-s, and
+    # the other NS terms and the GRF IC distribution are translation-
+    # equivariant, so (roll(a), roll(u)) with a shared per-sample shift is
+    # an exact new training pair.  Positions stay fixed: we augment the
+    # operator's graph, not the coordinate chart.  (Deliberate flag-gated
+    # addition over /root/reference/exp_ns.py, which trains unaugmented.)
+    aug_roll = bool(getattr(args, "aug_roll", 0))
+    side = int(round(n ** 0.5))
+    if aug_roll and side * side != n:
+        raise ValueError(f"--aug_roll needs a square grid, got n={n}")
+
+    def roll_batch(f, s):
+        # f: (b, n, c), s: (b,) int grid shifts; rolls each sample's
+        # (side, side) field by (s, -s) on the torus
+        def one(fi, si):
+            g = fi.reshape(side, side, -1)
+            return jnp.roll(g, (si, -si), (0, 1)).reshape(fi.shape)
+
+        return jax.vmap(one)(f, s)
     steps_per_epoch = (ntrain + bsz - 1) // bsz
     tx = make_optimizer(
         args.lr, args.epochs * steps_per_epoch, args.weight_decay,
@@ -130,9 +150,19 @@ def run_autoregressive(
         # dataset threads through as explicit jit args (NOT a closure):
         # closed-over arrays become compile-payload constants and the
         # relay rejects the 1000-sim split with HTTP 413 (train/loop.py)
-        def gather(idx, pos_c, a_c, u_c):
-            xb = jnp.broadcast_to(pos_c, (idx.shape[0],) + pos_c.shape[1:])
-            return xb, a_c[idx], u_c[idx]
+        if aug_roll:
+            # per-epoch shifts ride in as an extra device arg (same shape
+            # every epoch -> one compile); gather applies them on device
+            def gather(idx, pos_c, a_c, u_c, s_c):
+                xb = jnp.broadcast_to(pos_c, (idx.shape[0],) + pos_c.shape[1:])
+                sb = s_c[idx]
+                return xb, roll_batch(a_c[idx], sb), roll_batch(u_c[idx], sb)
+
+        else:
+
+            def gather(idx, pos_c, a_c, u_c):
+                xb = jnp.broadcast_to(pos_c, (idx.shape[0],) + pos_c.shape[1:])
+                return xb, a_c[idx], u_c[idx]
 
         epoch_fn = make_epoch_fn(loss_fn, gather)
 
@@ -155,11 +185,16 @@ def run_autoregressive(
     for ep in range(start_epoch, args.epochs):
         if scan_epochs:
             idx_mat = data_rng.permutation(ntrain).reshape(-1, bsz)
+            extra = (
+                (jnp.asarray(data_rng.integers(0, side, ntrain)),)
+                if aug_roll
+                else ()
+            )
             train_step_l = train_full_l = 0.0
             for c in range(0, n_steps, steps_per_chunk):
                 state, (_, auxs) = epoch_fn(
                     state, jnp.asarray(idx_mat[c : c + steps_per_chunk]),
-                    pos_d, a_all, u_all,
+                    pos_d, a_all, u_all, *extra,
                 )
                 train_step_l += float(auxs["step_loss"].sum())
                 train_full_l += float(auxs["full_loss"].sum())
@@ -167,8 +202,21 @@ def run_autoregressive(
             train_step_l = train_full_l = 0.0
             for idx in epoch_batches(data_rng, ntrain, bsz):
                 x = put(pos.repeat(len(idx), 0))
+                a_b, u_b = train_a[idx], train_u[idx]
+                if aug_roll:
+                    sb = data_rng.integers(0, side, len(idx))
+                    a_b = np.stack([
+                        np.roll(a_b[i].reshape(side, side, -1),
+                                (sb[i], -sb[i]), (0, 1)).reshape(a_b[i].shape)
+                        for i in range(len(idx))
+                    ])
+                    u_b = np.stack([
+                        np.roll(u_b[i].reshape(side, side, -1),
+                                (sb[i], -sb[i]), (0, 1)).reshape(u_b[i].shape)
+                        for i in range(len(idx))
+                    ])
                 state, (loss, aux) = update(
-                    state, x, put(train_a[idx]), put(train_u[idx])
+                    state, x, put(a_b), put(u_b)
                 )
                 train_step_l += float(aux["step_loss"])
                 train_full_l += float(aux["full_loss"])

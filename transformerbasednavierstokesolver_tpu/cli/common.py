@@ -120,6 +120,15 @@ def base_parser(description="Training Transolver", **overrides):
                    help="write a jax.profiler trace for the run to this dir")
     p.add_argument("--nan_debug", type=int, default=0,
                    help="enable jax_debug_nans (also TBNSS_NAN_DEBUG=1)")
+    p.add_argument("--aug_roll", type=int, default=0,
+                   help="train-time anti-diagonal torus-roll augmentation "
+                        "for square periodic grids (autoreg trainers). The "
+                        "FNO NS forcing 0.1(sin+cos)(2pi(x+y)) is invariant "
+                        "under translations x->x+s, y->y-s, so rolling input "
+                        "AND target frames by a shared random (s,-s) is an "
+                        "exact symmetry of the dynamics: 64x free data. The "
+                        "reference trains without augmentation (exp_ns.py); "
+                        "this is a deliberate, flag-gated addition.")
     p.add_argument("--eval_every", type=int, default=1,
                    help="run the test-set evaluation every N epochs (the "
                         "reference evaluates every epoch, exp_ns.py:216-246; "
