@@ -19,6 +19,12 @@ def main(argv=None):
     p.add_argument("--save_name", type=str, default="ns_2d_UniPDE")
     p.add_argument("--data_path", type=str, default="/data/fno")
     p.add_argument("--synth_n", type=int, default=None)
+    p.add_argument("--ntrain", type=int, default=50,
+                   help="training-split size the checkpoint was trained "
+                        "with; the visualized cases are drawn from the "
+                        "sims AFTER it (true held-out, exp_ns.py split "
+                        "semantics)")
+    p.add_argument("--ntest", type=int, default=50)
     p.add_argument("--frames", type=int, default=10)
     p.add_argument("--case", type=int, default=0)
     p.add_argument("--out_dir", type=str, default=None)
@@ -56,7 +62,8 @@ def main(argv=None):
 
     t_in = 10
     _, _, test_a, test_u, h = load_ns_vorticity(
-        args.data_path, 50, 50, t_in, args.frames, 1, synth_sims=args.synth_n
+        args.data_path, args.ntrain, args.ntest, t_in, args.frames, 1,
+        synth_sims=args.synth_n,
     )
     pos = meshgrid_pos(h)
     model = Transolver(
