@@ -153,3 +153,35 @@ def test_learn_slice(mode, tmp_path, monkeypatch):
             tiny=False,
         )
     )
+
+
+def test_slice_learner_rollout_eval(tmp_path, monkeypatch, capsys):
+    """End-to-end solve_with_slice_learner workflow: train a merged model,
+    train a slice head against its (randomly-init, frozen) encoder, then
+    roll out closed-loop decoding the merged codes with the head's slice
+    weights (reference: SequenSolver.py:182-291 + shipped slice_*.pt)."""
+    monkeypatch.chdir(tmp_path)
+    import json
+
+    from transformerbasednavierstokesolver_tpu.cli import learn_slice as ls
+
+    _run(
+        "sequen_solver",
+        ["--variant", "merged", "--sim_num", "2", "--epochs", "1",
+         "--layers", "1", "--encoder_layers", "1", "--synth_n", "4",
+         "--save_name", "m"],
+        tiny=False,
+    )
+    common = ["--mode", "vorticity", "--sim_num", "2", "--epochs", "1",
+              "--encoder_layers", "1", "--synth_n", "4", "--save_name", "s"]
+    ls.main(common)
+    capsys.readouterr()
+    ls.main(common + ["--rollout_eval", "1", "--merged_layers", "1",
+                      "--merged_path", ls.seq_ckpt("m")])
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    paths = {r["path"]: r for r in out}
+    assert set(paths) == {"slice_learner", "merged_forward_slice"}
+    for r in paths.values():
+        assert np.isfinite(r["full_rel_l2"])
+        assert len(r["per_frame_rel_l2"]) == 10

@@ -25,6 +25,8 @@ from .common import (
     checkpoint_path,
     count_parameters,
     epoch_batches,
+    maybe_resume,
+    save_state,
     MetricsLogger,
 )
 
@@ -139,12 +141,16 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), model,
         (jnp.zeros((1, n, 3)), jnp.zeros((1, n, 1))), tx,
     )
+    state, start_step = maybe_resume(state, args)
+    start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
     update = make_update_fn(loss_fn)
 
+    eval_every = max(1, getattr(args, "eval_every", 1))
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
     data_rng = np.random.default_rng(args.seed)
-    for ep in range(args.epochs):
+    rel = float("nan")
+    for ep in range(start_epoch, args.epochs):
         train_loss = 0.0
         for idx in epoch_batches(data_rng, ntrain, bsz):
             state, (loss, _) = update(
@@ -155,12 +161,21 @@ def main(argv=None):
         print(
             "Epoch {} Train loss : {:.5f}".format(ep, train_loss / ntrain)
         )
-        rel = evaluate(state.params)
-        print(f"rel_err:{rel}")
-        metrics.log(ep, train_loss=train_loss / ntrain, test_rel=rel)
+        evaluated = ep % eval_every == 0 or ep == args.epochs - 1
+        if evaluated:
+            rel = evaluate(state.params)
+            print(f"rel_err:{rel}")
+        metrics.log(
+            ep, train_loss=train_loss / ntrain,
+            **(dict(test_rel=rel) if evaluated else {}),
+        )
+        if ep % 10 == 0:
+            save_params(checkpoint_path(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     print("save model")
     save_params(checkpoint_path(args.save_name), state.params, state.step)
+    save_state(state, args)
     return evaluate(state.params)
 
 

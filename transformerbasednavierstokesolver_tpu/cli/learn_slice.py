@@ -51,6 +51,22 @@ def build_argparser():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rollout_eval", type=int, default=0,
+                   help="closed-loop 10-step rollout on held-out sims, "
+                        "decoding the merged model's predicted codes with "
+                        "THIS trained head's slice weights — the "
+                        "``solve_with_slice_learner`` inference path "
+                        "(/root/reference/SequenSolver.py:182-291) — and "
+                        "with the merged model's own forward_slice for "
+                        "comparison")
+    p.add_argument("--merged_path", type=str, default=None,
+                   help="full SequenSolverMerged checkpoint for "
+                        "--rollout_eval (codes + decoder + forward_slice)")
+    p.add_argument("--merged_layers", type=int, default=8,
+                   help="temporal depth the --merged_path checkpoint was "
+                        "trained with (the block weights are shared, so "
+                        "depth is a forward-time choice, not a param-tree "
+                        "one)")
     return p
 
 
@@ -81,7 +97,9 @@ def main(argv=None):
 
     # frozen encoder (wrapped in the SequenSolver module for encode helpers)
     enc_wrap = SequenSolverMerged(
-        T=T_IN, H=H, W=W, M=16, C=32, encoder_layers=args.encoder_layers
+        T=T_IN, H=H, W=W, M=16, C=32,
+        layers=getattr(args, "merged_layers", 8),
+        encoder_layers=args.encoder_layers,
     )
     sample_enc = (
         jnp.zeros((1, H * W, pos_u.shape[-1])),
@@ -237,6 +255,82 @@ def main(argv=None):
                 loss = eval_batch(state.params, fx0, ys)
             total += float(loss)
         return state, total / n / T_IN
+
+    if args.rollout_eval:
+        # the solve_with_slice_learner inference path, end to end: the
+        # merged model predicts the next latent code, the trained slice
+        # head (NOT the merged model's forward_slice) supplies the
+        # deslicing weights, decode produces the frame, the window slides.
+        # Reference workflow: SequenSolver.py:182-291 with the shipped
+        # sequential_checkpoints/slice_*.pt.
+        sl_params = restore_params(seq_ckpt(args.save_name), state.params)
+        if not args.merged_path:
+            raise SystemExit("--rollout_eval needs --merged_path")
+        merged_params = restore_params(args.merged_path, enc_vars)
+        n_steps = 10
+
+        def _code(fx):
+            xb = jnp.broadcast_to(pos_u_d, (fx.shape[0],) + pos_u.shape[1:])
+            toks = enc_wrap.apply(
+                {"params": merged_params}, xb, fx,
+                method=SequenSolverMerged.encode_frames,
+            )
+            code = enc_wrap.apply(
+                {"params": merged_params}, toks,
+                method=SequenSolverMerged.predict_code,
+            )
+            return xb, code
+
+        def _rollout_impl(fx0, use_learner):
+            fx = fx0
+            outs = []
+            for _ in range(n_steps):
+                xb, code = _code(fx)
+                if use_learner:
+                    xf = jnp.broadcast_to(
+                        x_feat_d, (fx.shape[0],) + x_feat_d.shape[1:]
+                    )
+                    prev = gt_slice_impl(fx[..., -1:])
+                    w = predict(sl_params, xf, fx, code, prev)
+                else:
+                    w = enc_wrap.apply(
+                        {"params": merged_params}, xb, fx, code,
+                        method=SequenSolverMerged.forward_slice,
+                    )
+                nxt = enc_wrap.apply(
+                    {"params": merged_params}, code, w,
+                    method=SequenSolverMerged.decode,
+                )  # [B, N, 1]
+                outs.append(nxt)
+                fx = jnp.concatenate([fx[..., 1:], nxt], axis=-1)
+            return jnp.concatenate(outs, -1)  # [B, N, n_steps]
+
+        roll_learner = jax.jit(lambda fx0: _rollout_impl(fx0, True))
+        roll_merged = jax.jit(lambda fx0: _rollout_impl(fx0, False))
+
+        import json
+
+        for name, roll in [("slice_learner", roll_learner),
+                           ("merged_forward_slice", roll_merged)]:
+            full = step = 0.0
+            per_frame = np.zeros(n_steps)
+            for i in range(ntest):
+                pred = np.asarray(roll(jnp.asarray(test_a[i : i + 1])))[0]
+                gt = test_u[i, :, :n_steps]
+                full += float(
+                    np.linalg.norm(pred - gt) / np.linalg.norm(gt)
+                )
+                for t in range(n_steps):
+                    per_frame[t] += float(
+                        np.linalg.norm(pred[:, t] - gt[:, t])
+                        / np.linalg.norm(gt[:, t])
+                    )
+            print(json.dumps({
+                "path": name, "n": ntest,
+                "full_rel_l2": full / ntest,
+                "per_frame_rel_l2": [round(v / ntest, 4) for v in per_frame],
+            }))
+        return
 
     if args.eval:
         state = state.replace(

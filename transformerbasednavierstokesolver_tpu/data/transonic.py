@@ -427,7 +427,7 @@ class FullPotentialSolver:
 
 
 def transonic_sample(rng, n_around=221, n_radial=51, n_sweeps=6000,
-                     tol=1e-6):
+                     tol=1e-6, params=None):
     """One transonic sample: returns (X, Y, mach [n_around, n_radial], meta).
 
     Geometry sampled like ``panel.karman_trefftz_sample``; freestream Mach
@@ -435,12 +435,20 @@ def transonic_sample(rng, n_around=221, n_radial=51, n_sweeps=6000,
     samples develop a supersonic pocket terminated by a captured shock)
     while staying inside the full-potential method's validity (local Mach
     <~ 1.6) and the solver's robust band.
+
+    ``params``: optional (eps_x, eps_y, te_deg, alpha, minf) tuple that
+    bypasses the rng draw — used by the grid-refinement noise-floor probe
+    (tools/airfoil_noise_floor.py) to solve the SAME case at nested
+    resolutions.
     """
-    eps_x = rng.uniform(0.04, 0.12)
-    eps_y = rng.uniform(0.0, 0.06)
-    te_deg = rng.uniform(4.0, 14.0)
-    alpha = np.deg2rad(rng.uniform(-1.0, 5.0))
-    minf = rng.uniform(0.64, 0.74)
+    if params is not None:
+        eps_x, eps_y, te_deg, alpha, minf = params
+    else:
+        eps_x = rng.uniform(0.04, 0.12)
+        eps_y = rng.uniform(0.0, 0.06)
+        te_deg = rng.uniform(4.0, 14.0)
+        alpha = np.deg2rad(rng.uniform(-1.0, 5.0))
+        minf = rng.uniform(0.64, 0.74)
 
     g = kt_mesh(eps_x, eps_y, te_deg, alpha, n_around, n_radial)
     s = FullPotentialSolver(g["X"], g["Y"], mach_inf=minf, alpha=alpha,
