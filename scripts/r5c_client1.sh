@@ -62,8 +62,10 @@ for mode in slice_learner vorticity; do
     --save_name "slice_${mode}_r5" \
     >> "logs/learn_slice_${mode}_r5.log" 2>&1
   echo "LEARN_SLICE_${mode}_EXIT $?"
+  # rollout on sims 1190-1199: held out from BOTH the merged model's
+  # 1190-sim training split and the slice heads' 100-sim training split
   timeout 2400 python learn_slice.py --mode "$mode" --rollout_eval 1 \
-    --synth_n 400 --sim_num 100 --unified_pos 1 \
+    --synth_n 1200 --sim_num 1190 --unified_pos 1 \
     --encoder_path sequential_checkpoints/encoder16_r5.ckpt \
     --merged_path sequential_checkpoints/sequen_merged16_r5.ckpt \
     --save_name "slice_${mode}_r5" \
