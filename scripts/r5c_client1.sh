@@ -73,26 +73,7 @@ for mode in slice_learner vorticity; do
   echo "SLICE_ROLLOUT_${mode}_EXIT $?"
 done
 
-# 5. 3D at 8x data (VERDICT item 6: the 64-sample plateau diagnosis says
-#    data, not depth, is binding; exact-spectral-solve targets are cheap)
-for attempt in 1 2 3; do
-  ep=$(wc -l < logs/exp3d_r5.jsonl 2>/dev/null || echo 0)
-  [ "$ep" -ge 60 ] && break
-  timeout 4200 python exp_3d.py \
-    --model Transolver_Structured_Mesh_3D \
-    --n-hidden 128 --n-heads 8 --n-layers 8 --batch-size 4 \
-    --slice_num 32 --size 32 --synth_n 512 --epochs 60 \
-    --use_checkpoint 1 --lr 0.001 --max_grad_norm 1.0 --eval_every 5 \
-    --resume 1 --metrics_file logs/exp3d_r5.jsonl --save_name ns3d_r5 \
-    >> logs/exp3d_r5.log 2>&1
-  echo "EXP3D_ATTEMPT_$attempt EXIT $?"
-done
-
-# 6. flagship visual rollout artifacts from the newest r5 checkpoint
-#    (VERDICT missing item 2: the reference commits its rollout GIFs)
-TBNSS_NS_DOWNSAMPLE=pointwise timeout 2400 python visualize_rollout.py \
-  --save_name ns_flagship_r5 --synth_n 1200 --ntrain 1000 --ntest 200 \
-  --frames 10 --case 0 > logs/visualize_rollout_r5.log 2>&1
-echo "GIF_EXIT $?"
+# (the 3D run and the flagship rollout artifacts moved to
+#  scripts/r5c_client2.sh, which takes the flagship's slot when it frees)
 
 echo R5C_CLIENT1_DONE
