@@ -15,7 +15,7 @@ kill_tree() { # kill_tree <pid>: children first, then pid
   kill "$p" 2>/dev/null
 }
 
-for f in /tmp/r5b_c1.pid /tmp/r5c_c1.pid /tmp/flagship_r5.pid; do
+for f in /tmp/r5b_c1.pid /tmp/r5c_c1.pid /tmp/r5c_c2.pid /tmp/flagship_r5.pid; do
   kill_tree "$(cat "$f" 2>/dev/null)"
 done
 sleep 20
