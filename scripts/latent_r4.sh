@@ -38,10 +38,15 @@ for attempt in 1 2 3 4 5 6; do
   echo "merged-w64 attempt $attempt exit $?"
 done
 
-# 3. notebook-protocol per-frame rollout eval vs the reference's curve
+# 3. notebook-protocol per-frame rollout eval vs the reference's curve.
+# --ntrain 1190: evaluated sims 1190-1199 sit PAST the merged model's
+# 1190-sim split and the flagship's 1000-sim split (the r3 runs used the
+# tool's old default of sims 50-59, which were inside both training
+# splits — see docs/RESULTS.md round 5 disclosure).
 timeout 1800 python tools/notebook_rollout_eval.py \
   --merged sequen_merged_w64 \
   --encoder sequential_checkpoints/encoder_w64_ep80.ckpt \
-  --latent_m 32 --latent_c 64 \
+  --latent_m 32 --latent_c 64 --ntrain 1190 \
+  --flagship ns_flagship_r5 \
   > logs/notebook_rollout_w64.log 2>&1 || true
 echo LATENT_R4_DONE

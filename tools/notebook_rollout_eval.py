@@ -126,6 +126,15 @@ def main():
     ap.add_argument("--latent_c", type=int, default=32)
     ap.add_argument("--synth_n", type=int, default=1200)
     ap.add_argument("--ntest", type=int, default=10)
+    ap.add_argument("--ntrain", type=int, default=50,
+                    help="loader train-split size: evaluated sims are "
+                         "[ntrain, ntrain+ntest). Set PAST every compared "
+                         "model's training split (e.g. 1190 when the "
+                         "merged model trained on 1190 sims and the "
+                         "flagship on 1000) — the r3 runs used the "
+                         "default 50, which put sims 50-59 INSIDE the "
+                         "1000/1190-sim training splits (disclosed in "
+                         "docs/RESULTS.md round 5)")
     args = ap.parse_args()
 
     from transformerbasednavierstokesolver_tpu.data.datasets import (
@@ -137,7 +146,8 @@ def main():
 
     select_platform()
     _, _, test_a, test_u, h = load_ns_vorticity(
-        "/data/fno", 50, args.ntest, T_IN, T_OUT, 1, synth_sims=args.synth_n
+        "/data/fno", args.ntrain, args.ntest, T_IN, T_OUT, 1,
+        synth_sims=args.synth_n,
     )
     assert h == H
     out = {}
