@@ -40,15 +40,15 @@ echo "LATENT_W64_EXIT $?"
 if [ ! -f sequential_checkpoints/encoder16_r5.ckpt ]; then
   timeout 3600 python auto_encoder.py --n-hidden 32 --n-heads 1 \
     --n-layers 8 --slice_num 16 --unified_pos 1 --batch-size 16 \
-    --epochs 80 --synth_n 400 --resume 1 \
+    --epochs 60 --synth_n 400 --resume 1 \
     --metrics_file logs/auto_encoder16_r5.jsonl \
     --save_name encoder16_r5 >> logs/auto_encoder16_r5.log 2>&1
   echo "AE16_EXIT $?"
 fi
 for attempt in 1 2 3; do
   ep=$(wc -l < logs/sequen_merged16_r5.jsonl 2>/dev/null || echo 0)
-  [ "$ep" -ge 100 ] && break
-  timeout 4500 python sequen_solver.py --variant merged --epochs 100 \
+  [ "$ep" -ge 60 ] && break
+  timeout 4500 python sequen_solver.py --variant merged --epochs 60 \
     --synth_n 1200 --sim_num 1190 --eval_every 2 \
     --encoder_path sequential_checkpoints/encoder16_r5.ckpt \
     --resume 1 --metrics_file logs/sequen_merged16_r5.jsonl \
@@ -56,7 +56,7 @@ for attempt in 1 2 3; do
   echo "MERGED16_ATTEMPT_$attempt EXIT $?"
 done
 for mode in slice_learner vorticity; do
-  timeout 3600 python learn_slice.py --mode "$mode" --epochs 5 \
+  timeout 3600 python learn_slice.py --mode "$mode" --epochs 4 \
     --synth_n 400 --sim_num 100 --unified_pos 1 \
     --encoder_path sequential_checkpoints/encoder16_r5.ckpt \
     --save_name "slice_${mode}_r5" \
