@@ -252,7 +252,10 @@ def main(argv=None):
             )
         # reference saves every 100 (exp_plas.py:262); every 10 here so the
         # relaunch-on-hang watcher + --resume loses at most 10 epochs
-        if ep % 10 == 0:
+        # every 5 (vs the autoreg trainers' 10): plasticity epochs are the
+        # slowest in the suite (~3-6 min under a shared relay), so a
+        # timeout-restart otherwise redoes up to 10 x 5 min of work
+        if ep % 5 == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
             save_state(state, args)
