@@ -1,0 +1,78 @@
+"""Resume robustness: truncated state files must not crash-loop trainers.
+
+Round-5 incident: a timeout killed the NS flagship mid-``save_state``,
+leaving a 0-byte ``.state``; every ``--resume`` attempt then died in
+msgpack and the relaunch loop spun (misdiagnosed as a kernel failure by
+its impl-fallback heuristic).  ``maybe_resume`` now falls back to the
+params checkpoint with the saved step, and checkpoint writes are atomic.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_args(tmp_path, name):
+    import argparse
+
+    return argparse.Namespace(resume=1, save_name=name)
+
+
+def test_corrupt_state_falls_back_to_params_ckpt(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from transformerbasednavierstokesolver_tpu.cli.common import (
+        checkpoint_path,
+        maybe_resume,
+        train_state_path,
+    )
+    from transformerbasednavierstokesolver_tpu.train.checkpoint import (
+        save_params,
+    )
+    from transformerbasednavierstokesolver_tpu.train.loop import TrainState
+    from transformerbasednavierstokesolver_tpu.train.optim import (
+        make_optimizer,
+    )
+
+    params = {"w": jnp.ones((3,))}
+    tx = make_optimizer(1e-3, 100, 1e-5, 1.0)
+    state = TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=tx
+    )
+
+    # a params checkpoint at step 42 + a truncated (0-byte) state file
+    save_params(checkpoint_path("t"), {"w": jnp.full((3,), 7.0)}, 42)
+    open(train_state_path("t"), "wb").close()
+
+    restored, step = maybe_resume(state, _tiny_args(tmp_path, "t"))
+    assert step == 42
+    assert int(restored.step) == 42
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    # schedule counters advanced so OneCycle resumes at the right phase
+    counts = [
+        int(x) for x in jax.tree_util.tree_leaves(restored.opt_state)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer)
+        and getattr(x, "ndim", None) == 0
+    ]
+    assert counts and all(c == 42 for c in counts)
+
+
+def test_atomic_write_leaves_no_partial_file(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from transformerbasednavierstokesolver_tpu.train.checkpoint import (
+        restore_params_and_step,
+        save_params,
+    )
+
+    path = os.path.join(str(tmp_path), "ck", "a.ckpt")
+    save_params(path, {"w": jnp.ones((2,))}, 5)
+    assert not os.path.exists(path + ".tmp")
+    params, step = restore_params_and_step(path, {"w": jnp.zeros((2,))})
+    assert step == 5
+    np.testing.assert_allclose(np.asarray(params["w"]), 1.0)

@@ -234,7 +234,13 @@ def train_state_path(save_name: str) -> str:
 
 
 def maybe_resume(state, args):
-    """Restore the full TrainState if --resume and a state file exists."""
+    """Restore the full TrainState if --resume and a state file exists.
+
+    Degrades gracefully on a corrupt/truncated state file (a timeout can
+    kill a trainer mid-save): falls back to the params checkpoint, keeping
+    the saved step so the LR/momentum schedules continue from the right
+    place (Adam moments restart at zero — a brief transient, vs the old
+    behavior of crash-looping every restart attempt)."""
     if not getattr(args, "resume", 0):
         return state, 0
     path = train_state_path(args.save_name)
@@ -243,9 +249,42 @@ def maybe_resume(state, args):
         return state, 0
     from ..train.checkpoint import restore_train_state
 
-    state = restore_train_state(path, state)
-    print(f"resumed from {path} at step {int(state.step)}")
-    return state, int(state.step)
+    try:
+        state = restore_train_state(path, state)
+        print(f"resumed from {path} at step {int(state.step)}")
+        return state, int(state.step)
+    except Exception as e:
+        print(f"state file {path} unreadable ({type(e).__name__}: {e}); "
+              "trying the params checkpoint")
+    ckpt = checkpoint_path(args.save_name)
+    if not os.path.exists(ckpt):
+        print(f"no params checkpoint at {ckpt} either; starting fresh")
+        return state, 0
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.checkpoint import restore_params_and_step
+
+    params, step = restore_params_and_step(ckpt, state.params)
+    step = int(step or 0)
+
+    def _bump_count(x):
+        # schedule/Adam step counters in a FRESH opt_state are integer
+        # scalars (all zero); advancing them to the saved step keeps the
+        # OneCycle schedules on track after the fallback
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer) \
+                and getattr(x, "ndim", None) == 0:
+            return jnp.asarray(step, x.dtype)
+        return x
+
+    state = state.replace(
+        params=params,
+        step=step,
+        opt_state=jax.tree_util.tree_map(_bump_count, state.opt_state),
+    )
+    print(f"resumed params+schedule from {ckpt} at step {step} "
+          "(fresh optimizer moments)")
+    return state, step
 
 
 def save_state(state, args):

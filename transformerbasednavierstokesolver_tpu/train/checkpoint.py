@@ -21,13 +21,25 @@ import numpy as np
 from flax import serialization, traverse_util
 
 
+def _atomic_write(path: str, data: bytes):
+    """Write-to-temp + rename: a timeout/SIGKILL mid-write must never leave
+    a truncated checkpoint at the final path (round-5 incident: a 0-byte
+    .state file crash-looped every --resume of the NS flagship until
+    repaired by hand)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_params(path: str, params, step: Optional[int] = None):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {"params": params}
     if step is not None:
         payload["step"] = step
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+    _atomic_write(path, serialization.to_bytes(payload))
 
 
 def restore_params(path: str, params_template):
@@ -55,8 +67,24 @@ def save_train_state(path: str, state):
     optimizer state -- resume restarts its schedule; this is the improvement
     SURVEY.md section 5 calls for)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+    _atomic_write(path, serialization.to_bytes(state))
+
+
+def restore_params_and_step(path: str, params_template):
+    """Params + saved step from a save_params checkpoint; step is None for
+    checkpoints written without one."""
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        payload = serialization.from_bytes(
+            {"params": params_template, "step": 0}, data
+        )
+        step = int(payload["step"])
+    except Exception:
+        payload = serialization.from_bytes({"params": params_template}, data)
+        step = None
+    _check_shapes(params_template, payload["params"], path)
+    return payload["params"], step
 
 
 def restore_train_state(path: str, state_template):
