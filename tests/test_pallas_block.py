@@ -213,31 +213,36 @@ def test_padded_tail_plans():
 
 
 def test_padded_tail_gated_on_compiled_backends(monkeypatch):
-    """Padded plans run on compiled backends; TBNSS_MEGA_PADDED=0 opts out.
+    """Padded plans are OPT-IN on compiled backends (TBNSS_MEGA_PADDED=1).
 
-    The r4 TPU probe's padded-grad FAIL (logs/probe_mega_params_r4.log)
-    was attributed in r5 to the XLA reference block's default-precision
-    bf16 matmul grads, not to the Mosaic lowering — with the reference at
-    matmul precision 'highest', every padded-path parameter grad matches
-    on the real chip (tools/probe_mega_precision.py,
-    logs/probe_mega_precision_r5.log, logs/probe_diag_hp_r5.log).  Padded
-    plans are therefore on by default everywhere, with an env opt-out
-    kept for A/B debugging.
+    History: the r4 padded-grad FAIL was attributed in r5 to default
+    matmul precision (tools/probe_mega_precision.py) and the plans were
+    briefly default-on; then the first padded-grid TRAINING run (session
+    4, plasticity 101x31 resume) went straight to NaN under mega while
+    xla continued cleanly from the same checkpoint
+    (logs/plas900_r5.log) — grad parity at init did not predict
+    mid-schedule behavior.  Until a padded training run survives
+    end-to-end, compiled backends require the explicit env opt-in and
+    impl=auto falls back to the XLA block on non-divisible grids (the
+    kernel-evidence tools set the env themselves).
     """
     monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
     monkeypatch.delenv("TBNSS_MEGA_PADDED", raising=False)
-    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
-    assert pallas_block.supported(
-        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
-    )
-    # divisible heights are unaffected
-    assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
-    # the opt-out removes the padded plan (forces the XLA fallback)
-    monkeypatch.setenv("TBNSS_MEGA_PADDED", "0")
+    # default: padded plans gated off -> XLA fallback on compiled backends
     assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
     assert not pallas_block.supported(
         (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
     )
+    # divisible heights are unaffected
+    assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
+    # the explicit opt-in restores the padded plan (A/B + probe tooling)
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "1")
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
+    assert pallas_block.supported(
+        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
+    )
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "0")
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
     # unsupported shapes raise a clear error instead of a None-unpack
     import pytest
 

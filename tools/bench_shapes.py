@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# kernel-evidence tooling exercises the padded masked-tail plans even
+# though they are opt-in for training (see pallas_block._padded_ok)
+os.environ.setdefault("TBNSS_MEGA_PADDED", "1")
+
 # (name, grid H x W or None for irregular, n_hidden, heads, slice, mlp_ratio,
 #  fun_dim, out_dim, batch, rollout_T or 0 for steady)
 SHAPES = [

@@ -18,6 +18,10 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# kernel-evidence tooling exercises the padded masked-tail plans even
+# though they are opt-in for training (see pallas_block._padded_ok)
+os.environ.setdefault("TBNSS_MEGA_PADDED", "1")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -485,13 +485,24 @@ def _padded_ok():
     mega(highest) vs xla(highest) agree to <=5.4e-5 on the real chip
     (logs/probe_diag_hp_r5.log).  There was never a Mosaic lowering bug;
     the padded path is exactly as accurate as the unpadded mega/XLA paths
-    every existing training run already uses.  Padded plans are therefore
-    enabled everywhere, with ``TBNSS_MEGA_PADDED=0`` kept as an explicit
-    opt-out for A/B debugging.
+    at those probe points.
+
+    Session-4 addendum: grad parity at init is NOT the whole story.  The
+    first real TRAINING run on a padded grid (plasticity 101x31, resumed
+    from a healthy xla-trained epoch-21 checkpoint) went straight to NaN
+    on its first mega epoch (logs/plas900_r5.log "Epoch 21 ...nan"),
+    while the same checkpoint continued cleanly under xla the same day.
+    The param-grad probe at this exact shape passes at init, so the
+    failure needs real mid-schedule weights to manifest and is not yet
+    diagnosed.  Until a padded-grid training run survives end-to-end,
+    padded plans are OPT-IN on compiled backends (``TBNSS_MEGA_PADDED=1``
+    -- the kernel-evidence tools set it themselves); impl=auto therefore
+    falls back to the XLA block on non-divisible grids.  Interpret mode
+    (CPU tests) keeps padded plans on unconditionally.
     """
     import os
 
-    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "1") == "1"
+    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "0") == "1"
 
 
 def _plan_blocks(Hrows, W, C, HG, M):
