@@ -29,6 +29,15 @@ done
 git add logs/ results/ 2>/dev/null
 git commit -q -m "Session-4 endgame: stop relay clients, bank checkpoints and final logs" || true
 
+# decisive data point for the padded-mega NaN: real plas weights, compiled
+# Mosaic (CPU interpret PASSes, logs/probe_mega_real_cpu.log) -- run in
+# this exclusive window so it is never a 3rd relay client
+timeout 1200 python tools/probe_mega_real_weights.py \
+  > logs/probe_mega_real_tpu.log 2>&1
+echo "PROBE_REAL_TPU_EXIT $?"
+git add logs/probe_mega_real_tpu.log 2>/dev/null
+git commit -q -m "TPU real-weights padded-mega probe result" || true
+
 timeout 1800 python bench.py > logs/bench_r5d_warm.json 2> logs/bench_r5d_warm.log
 echo "BENCH_WARM_EXIT $?" >> logs/bench_r5d_warm.log
 git add logs/bench_r5d_warm.json logs/bench_r5d_warm.log 2>/dev/null
