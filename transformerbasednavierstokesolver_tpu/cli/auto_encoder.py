@@ -176,7 +176,9 @@ def main(argv=None):
     count_parameters(state.params)
     from .common import maybe_resume, save_state
 
-    state, start_step = maybe_resume(state, args)
+    state, start_step = maybe_resume(
+        state, args, ckpt_path=seq_checkpoint_path(args.save_name)
+    )
     start_epoch = start_step // steps_per_epoch
     if scan_epochs:
         from ..train.loop import make_epoch_fn

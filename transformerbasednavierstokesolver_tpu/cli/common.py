@@ -233,14 +233,20 @@ def train_state_path(save_name: str) -> str:
     return os.path.join("./checkpoints", save_name + ".state")
 
 
-def maybe_resume(state, args):
+def maybe_resume(state, args, ckpt_path=None):
     """Restore the full TrainState if --resume and a state file exists.
 
     Degrades gracefully on a corrupt/truncated state file (a timeout can
     kill a trainer mid-save): falls back to the params checkpoint, keeping
     the saved step so the LR/momentum schedules continue from the right
     place (Adam moments restart at zero — a brief transient, vs the old
-    behavior of crash-looping every restart attempt)."""
+    behavior of crash-looping every restart attempt).
+
+    ``ckpt_path``: where that params fallback lives when it is not the
+    default ``./checkpoints/<name>.ckpt`` — the sequen trainers save
+    params under ``sequential_checkpoints/`` (session-4 find: the w64 ft
+    resume silently started a 38M-param model FROM SCRATCH because the
+    fallback looked in the wrong directory)."""
     if not getattr(args, "resume", 0):
         return state, 0
     path = train_state_path(args.save_name)
@@ -256,7 +262,7 @@ def maybe_resume(state, args):
     except Exception as e:
         print(f"state file {path} unreadable ({type(e).__name__}: {e}); "
               "trying the params checkpoint")
-    ckpt = checkpoint_path(args.save_name)
+    ckpt = ckpt_path or checkpoint_path(args.save_name)
     if not os.path.exists(ckpt):
         print(f"no params checkpoint at {ckpt} either; starting fresh")
         return state, 0

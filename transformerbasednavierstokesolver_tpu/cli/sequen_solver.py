@@ -82,6 +82,10 @@ def build_argparser():
     # and train everything end-to-end on the rollout objective with a
     # fresh short OneCycle at --finetune_lr (default lr/10).  The main
     # phase's schedule is shortened to complete before the switch.
+    p.add_argument("--max_grad_norm", type=float, default=None,
+                   help="global-norm gradient clip (main AND ft phases); "
+                        "the w64 merged run diverged 2 epochs into ft "
+                        "without it (session 4)")
     p.add_argument("--finetune_epochs", type=int, default=0)
     p.add_argument("--finetune_lr", type=float, default=None)
     return p
@@ -154,7 +158,8 @@ def main(argv=None):
     # (reference ``SequenSolver.py:576-579`` freeze_attention).
     phase_keys = {"block"} if args.variant == "original" else ()
     tx = freeze_subtrees(
-        make_optimizer(args.lr, switch_epoch * steps_per_epoch, 1e-5, None),
+        make_optimizer(args.lr, switch_epoch * steps_per_epoch, 1e-5,
+                       args.max_grad_norm),
         {"encoder"},
         phase_frozen_keys=phase_keys,
         phase_start_step=args.use_gt_epochs * steps_per_epoch,
@@ -265,7 +270,9 @@ def main(argv=None):
     from ..train.loop import TrainState
 
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-    state, start_step = maybe_resume(state, args)
+    state, start_step = maybe_resume(
+        state, args, ckpt_path=seq_ckpt(args.save_name)
+    )
     start_epoch = start_step // steps_per_epoch
     count_parameters(state.params)
 
@@ -281,7 +288,13 @@ def main(argv=None):
         """
         model_ft = model.clone(finetune_encoder=True)
         lr_ft = args.finetune_lr if args.finetune_lr is not None else args.lr / 10
-        tx_ft = make_optimizer(lr_ft, ft_epochs * steps_per_epoch, 1e-5, None)
+        # honor --max_grad_norm in the ft phase too: the session-4 w64 run
+        # diverged (0.15 -> 0.96 train) exactly 2 epochs into ft, where the
+        # fresh OneCycle ramps the joint-encoder LR while clipping was
+        # silently dropped (this arg was hardcoded None)
+        tx_ft = make_optimizer(
+            lr_ft, ft_epochs * steps_per_epoch, 1e-5, args.max_grad_norm
+        )
         return TrainState.create(
             apply_fn=model_ft.apply, params=state.params, tx=tx_ft
         )
