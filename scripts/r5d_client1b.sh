@@ -7,7 +7,7 @@
 # shape at init -- a real-weights/mid-schedule failure the probe does not
 # cover.  Plasticity therefore trains on xla; the mega-NaN finding is
 # recorded in docs/RESULTS.md and the padded plans are no longer the
-# impl=auto default (see cli/common.py).
+# impl=auto default (see ops/pallas_block.py _padded_ok).
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p logs sequential_checkpoints

@@ -141,6 +141,57 @@ def test_sequen_solver_finetune(tmp_path, monkeypatch):
     assert sum(jax.tree_util.tree_leaves(deltas)) > 0.0
 
 
+def test_sequen_ft_phase_resume(tmp_path, monkeypatch, capsys):
+    """Phase-aware resume (session-4 quirk fix): a run killed during the
+    joint-ft phase must resume INTO ft — not re-enter the main phase at a
+    bogus epoch (the ft phase restarts state.step at 0)."""
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    from transformerbasednavierstokesolver_tpu.cli import sequen_solver as ss
+    from transformerbasednavierstokesolver_tpu.cli.common import (
+        train_state_path,
+    )
+
+    base = ["--variant", "merged", "--sim_num", "2", "--epochs", "3",
+            "--layers", "1", "--encoder_layers", "1", "--synth_n", "4",
+            "--finetune_epochs", "2", "--save_name", "t"]
+    _finite(ss.main(base))
+    capsys.readouterr()
+    assert os.path.exists(train_state_path("t_ft"))  # ft phase saved state
+
+    # full ft-state resume: re-enters ft at its saved step, never touches
+    # the main phase again
+    _finite(ss.main(base + ["--resume", "1"]))
+    out = capsys.readouterr().out
+    assert "resumed ft phase" in out
+    assert "unfreezing encoder" not in out
+
+    # params-only resume (wipe scenario: .state files gone, ckpt survives):
+    # the globally-stamped checkpoint step maps back into the ft phase
+    os.remove(train_state_path("t_ft"))
+    os.remove(train_state_path("t"))
+    _finite(ss.main(base + ["--resume", "1"]))
+    out = capsys.readouterr().out
+    assert "resumed params+schedule" in out
+    assert "unfreezing encoder" not in out
+    # no main-phase epoch line may appear below the switch epoch
+    assert "Epoch 0 " not in out
+
+
+def test_sequen_rollout_loss(tmp_path, monkeypatch):
+    """--rollout_loss trains on the closed-loop objective (merged variant);
+    smoke both feedback-gradient modes."""
+    monkeypatch.chdir(tmp_path)
+    from transformerbasednavierstokesolver_tpu.cli import sequen_solver as ss
+
+    base = ["--variant", "merged", "--sim_num", "2", "--epochs", "1",
+            "--layers", "1", "--encoder_layers", "1", "--synth_n", "4",
+            "--rollout_loss", "1"]
+    _finite(ss.main(base + ["--rollout_bptt", "1", "--save_name", "rb"]))
+    _finite(ss.main(base + ["--rollout_bptt", "0", "--save_name", "rs"]))
+
+
 @pytest.mark.parametrize("mode", ["code", "previous", "vorticity",
                                   "slice_learner"])
 def test_learn_slice(mode, tmp_path, monkeypatch):
@@ -185,3 +236,20 @@ def test_slice_learner_rollout_eval(tmp_path, monkeypatch, capsys):
     for r in paths.values():
         assert np.isfinite(r["full_rel_l2"])
         assert len(r["per_frame_rel_l2"]) == 10
+
+    # distillation target (--target merged): head trained against the
+    # merged model's own forward_slice weights/codes (round-5 consistency
+    # fix — gt-trained heads decode to skill zero through the merged
+    # decoder), same rollout path
+    common_m = ["--mode", "vorticity", "--sim_num", "2", "--epochs", "1",
+                "--encoder_layers", "1", "--synth_n", "4",
+                "--merged_layers", "1", "--merged_path", ls.seq_ckpt("m"),
+                "--target", "merged", "--save_name", "sm"]
+    ls.main(common_m)
+    capsys.readouterr()
+    ls.main(common_m + ["--rollout_eval", "1"])
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    paths = {r["path"]: r for r in out}
+    assert set(paths) == {"slice_learner", "merged_forward_slice"}
+    assert all(np.isfinite(r["full_rel_l2"]) for r in paths.values())

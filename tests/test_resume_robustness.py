@@ -76,3 +76,43 @@ def test_atomic_write_leaves_no_partial_file(tmp_path, monkeypatch):
     params, step = restore_params_and_step(path, {"w": jnp.zeros((2,))})
     assert step == 5
     np.testing.assert_allclose(np.asarray(params["w"]), 1.0)
+
+
+def test_missing_state_falls_back_to_params_ckpt(tmp_path, monkeypatch):
+    """VM-wipe scenario (round-4 advisor finding): gitignored .state files
+    vanish while committed params checkpoints survive; --resume must fall
+    back to the params ckpt instead of silently starting from scratch."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+
+    from transformerbasednavierstokesolver_tpu.cli.common import (
+        checkpoint_path,
+        maybe_resume,
+        train_state_path,
+    )
+    from transformerbasednavierstokesolver_tpu.train.checkpoint import (
+        save_params,
+    )
+    from transformerbasednavierstokesolver_tpu.train.loop import TrainState
+    from transformerbasednavierstokesolver_tpu.train.optim import (
+        make_optimizer,
+    )
+
+    params = {"w": jnp.ones((3,))}
+    tx = make_optimizer(1e-3, 100, 1e-5, 1.0)
+    state = TrainState.create(apply_fn=lambda *a: None, params=params, tx=tx)
+
+    save_params(checkpoint_path("t"), {"w": jnp.full((3,), 7.0)}, 42)
+    assert not os.path.exists(train_state_path("t"))  # no state file at all
+
+    restored, step = maybe_resume(state, _tiny_args(tmp_path, "t"))
+    assert step == 42
+    assert int(restored.step) == 42
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    counts = [
+        int(x) for x in jax.tree_util.tree_leaves(restored.opt_state)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer)
+        and getattr(x, "ndim", None) == 0
+    ]
+    assert counts and all(c == 42 for c in counts)

@@ -51,12 +51,18 @@ def tree_nan_max(t):
 
 def main():
     ckpt = sys.argv[1] if len(sys.argv) > 1 else checkpoint_path("plas900_r4")
+    # data_path is the DIRECTORY (exp_plas joins the .mat name onto it);
+    # load the full 900-sample training split so the normalization stats
+    # match the checkpoint's training run exactly, then probe on the first
+    # 8 samples (round-4 advisor findings)
     x_train, y_train, x_test, y_test, s1, s2, T, out_dim = load_plasticity(
-        "/data/fno/plas_N987_T20.mat", 8, 2, synth_n=900
+        "/data/fno", 900, 2, synth_n=900
     )
     xm = x_train.mean()
     xs = x_train.std(ddof=1) + 1e-8
     x_train = (x_train - xm) / xs
+    x_train = x_train[:8]
+    y_train = y_train[:8]
     pos = meshgrid_pos(s1, s2)
     t_grid = np.linspace(0, 1, T, dtype=np.float32)
 

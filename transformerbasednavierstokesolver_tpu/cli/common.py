@@ -249,10 +249,49 @@ def maybe_resume(state, args, ckpt_path=None):
     fallback looked in the wrong directory)."""
     if not getattr(args, "resume", 0):
         return state, 0
+
+    def params_fallback(state):
+        """Params-checkpoint fallback shared by the missing-state and
+        corrupt-state branches: the VM-wipe scenario deletes gitignored
+        ``checkpoints/*.state`` while committed ``sequential_checkpoints/``
+        params survive — without this, --resume silently restarted from
+        scratch whenever the state file was missing ENTIRELY (round-4
+        advisor finding)."""
+        ckpt = ckpt_path or checkpoint_path(args.save_name)
+        if not os.path.exists(ckpt):
+            print(f"no params checkpoint at {ckpt} either; starting fresh")
+            return state, 0
+        import jax
+        import jax.numpy as jnp
+
+        from ..train.checkpoint import restore_params_and_step
+
+        params, step = restore_params_and_step(ckpt, state.params)
+        step = int(step or 0)
+
+        def _bump_count(x):
+            # schedule/Adam step counters in a FRESH opt_state are integer
+            # scalars (all zero); advancing them to the saved step keeps the
+            # OneCycle schedules on track after the fallback
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer) \
+                    and getattr(x, "ndim", None) == 0:
+                return jnp.asarray(step, x.dtype)
+            return x
+
+        state = state.replace(
+            params=params,
+            step=step,
+            opt_state=jax.tree_util.tree_map(_bump_count, state.opt_state),
+        )
+        print(f"resumed params+schedule from {ckpt} at step {step} "
+              "(fresh optimizer moments)")
+        return state, step
+
     path = train_state_path(args.save_name)
     if not os.path.exists(path):
-        print(f"--resume set but no state at {path}; starting fresh")
-        return state, 0
+        print(f"--resume set but no state at {path}; "
+              "trying the params checkpoint")
+        return params_fallback(state)
     from ..train.checkpoint import restore_train_state
 
     try:
@@ -262,35 +301,7 @@ def maybe_resume(state, args, ckpt_path=None):
     except Exception as e:
         print(f"state file {path} unreadable ({type(e).__name__}: {e}); "
               "trying the params checkpoint")
-    ckpt = ckpt_path or checkpoint_path(args.save_name)
-    if not os.path.exists(ckpt):
-        print(f"no params checkpoint at {ckpt} either; starting fresh")
-        return state, 0
-    import jax
-    import jax.numpy as jnp
-
-    from ..train.checkpoint import restore_params_and_step
-
-    params, step = restore_params_and_step(ckpt, state.params)
-    step = int(step or 0)
-
-    def _bump_count(x):
-        # schedule/Adam step counters in a FRESH opt_state are integer
-        # scalars (all zero); advancing them to the saved step keeps the
-        # OneCycle schedules on track after the fallback
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer) \
-                and getattr(x, "ndim", None) == 0:
-            return jnp.asarray(step, x.dtype)
-        return x
-
-    state = state.replace(
-        params=params,
-        step=step,
-        opt_state=jax.tree_util.tree_map(_bump_count, state.opt_state),
-    )
-    print(f"resumed params+schedule from {ckpt} at step {step} "
-          "(fresh optimizer moments)")
-    return state, step
+    return params_fallback(state)
 
 
 def save_state(state, args):

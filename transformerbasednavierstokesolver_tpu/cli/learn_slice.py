@@ -67,6 +67,19 @@ def build_argparser():
                         "trained with (the block weights are shared, so "
                         "depth is a forward-time choice, not a param-tree "
                         "one)")
+    p.add_argument("--target", type=str, default="gt",
+                   choices=["gt", "merged"],
+                   help="slice-weight training target. 'gt': the frozen "
+                        "encoder's slice weights of the target frame (the "
+                        "reference's MSE target, LearnSlice.py:472-520 — "
+                        "but the MERGED decoder was trained with its own "
+                        "forward_slice weights, which nothing anchors to "
+                        "the encoder's, so gt-trained heads decode to "
+                        "skill-zero through it; round-5 finding). "
+                        "'merged': distill the merged model's "
+                        "forward_slice outputs (and use its predicted "
+                        "codes as the head's code input), making "
+                        "head+decode consistent — requires --merged_path")
     return p
 
 
@@ -135,6 +148,12 @@ def main(argv=None):
     gt_slice = jax.jit(gt_slice_impl)
     last_token = jax.jit(last_token_impl)
 
+    merged_params = None
+    if args.merged_path:
+        merged_params = restore_params(args.merged_path, enc_vars)
+    if args.target == "merged" and merged_params is None:
+        raise SystemExit("--target merged needs --merged_path")
+
     if args.mode == "slice_learner":
         model = SliceLearner(
             space_dim=2, n_hidden=64, fun_dim=T_IN, unified_pos=unified,
@@ -199,9 +218,28 @@ def main(argv=None):
     def _t_features(fx, y):
         """Per-step inputs from the frozen encoder (all under one jit)."""
         xb = jnp.broadcast_to(x_feat_d, (fx.shape[0],) + x_feat_d.shape[1:])
-        code = last_token_impl(fx)
         prev = gt_slice_impl(fx[..., -1:])
-        target = gt_slice_impl(y)
+        if args.target == "merged":
+            # distillation targets: the merged model's own next-code and
+            # forward_slice weights — exactly the quantities the head will
+            # be paired with at solve_with_slice_learner time, so the
+            # trained head is consistent with the merged decoder
+            xu = jnp.broadcast_to(pos_u_d, (fx.shape[0],) + pos_u.shape[1:])
+            toks = enc_wrap.apply(
+                {"params": merged_params}, xu, fx,
+                method=SequenSolverMerged.encode_frames,
+            )
+            code = enc_wrap.apply(
+                {"params": merged_params}, toks,
+                method=SequenSolverMerged.predict_code,
+            )
+            target = enc_wrap.apply(
+                {"params": merged_params}, xu, fx, code,
+                method=SequenSolverMerged.forward_slice,
+            )
+        else:
+            code = last_token_impl(fx)
+            target = gt_slice_impl(y)
         return xb, code, prev, target
 
     # One dispatch per minibatch: the reference-style loop makes T_IN x 4
@@ -264,9 +302,8 @@ def main(argv=None):
         # Reference workflow: SequenSolver.py:182-291 with the shipped
         # sequential_checkpoints/slice_*.pt.
         sl_params = restore_params(seq_ckpt(args.save_name), state.params)
-        if not args.merged_path:
+        if merged_params is None:
             raise SystemExit("--rollout_eval needs --merged_path")
-        merged_params = restore_params(args.merged_path, enc_vars)
         n_steps = 10
 
         def _code(fx):

@@ -34,6 +34,7 @@ from .common import (
     epoch_batches,
     maybe_resume,
     save_state,
+    train_state_path,
 )
 
 T_IN = 10
@@ -88,6 +89,23 @@ def build_argparser():
                         "without it (session 4)")
     p.add_argument("--finetune_epochs", type=int, default=0)
     p.add_argument("--finetune_lr", type=float, default=None)
+    # Rollout-objective training (merged variant; extension — the reference
+    # only ever trains teacher-forced, SequenSolverMerged.py:446-476, and
+    # its closed-loop rollouts compound accordingly): train directly on the
+    # T_OUT-step closed-loop prediction, i.e. the eval metric itself.
+    p.add_argument("--rollout_loss", type=int, default=0,
+                   help="merged: replace the teacher-forced loss with the "
+                        "closed-loop multi-step loss (per-frame rel-L2 sum "
+                        "over a T_OUT-step autoregressive rollout)")
+    p.add_argument("--rollout_bptt", type=int, default=1,
+                   help="with --rollout_loss: backprop THROUGH the frozen "
+                        "encoder's re-encoding of predicted frames (encoder "
+                        "params stay optimizer-frozen; 0 = stop-gradient "
+                        "feedback, scheduled-sampling style)")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start params (incl. encoder) from a prior "
+                        "merged checkpoint, with a FRESH schedule — for "
+                        "rollout fine-tuning from a teacher-forced run")
     return p
 
 
@@ -181,6 +199,28 @@ def main(argv=None):
         return params
 
     def make_loss(use_gt):
+        if args.variant == "merged" and args.rollout_loss:
+            # closed-loop objective: the rollout the eval measures IS the
+            # training loss; per-frame rel-L2 keeps late-frame compounding
+            # from drowning the early-frame signal
+            def loss_fn(params, apply_fn, x, fx, yy):
+                b = x.shape[0]
+                pred = apply_fn(
+                    {"params": params}, x, fx, T_OUT,
+                    method=SequenSolverMerged.closed_loop_outputs,
+                )
+                loss = sum(
+                    rel_lp(pred[..., t : t + 1].reshape(b, -1),
+                           yy[..., t : t + 1].reshape(b, -1), reduction="sum")
+                    for t in range(T_OUT)
+                )
+                full = rel_lp(
+                    pred.reshape(b, -1), yy.reshape(b, -1), reduction="sum"
+                )
+                return loss, {"full": full}
+
+            return loss_fn
+
         if args.variant == "merged":
             # fast path: every teacher-forced frame encoded exactly once
             def loss_fn(params, apply_fn, x, fx, yy):
@@ -267,9 +307,23 @@ def main(argv=None):
         return full
 
     params = init_model(jax.random.PRNGKey(args.seed))
+    if args.init_from:
+        params = restore_params(args.init_from, params)
+        print(f"warm-started params from {args.init_from} (fresh schedule)")
     from ..train.loop import TrainState
 
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # --rollout_bptt trains through the re-encoding of predicted frames:
+    # the finetune_encoder=True clone drops the stop_gradients (the encoder
+    # SUBTREE stays frozen via the optimizer mask above), so the rollout
+    # loss at step t reaches the parameters through all t-1 feedback hops
+    # instead of only the last one.  Forward math is identical.
+    train_apply = (
+        model.clone(finetune_encoder=True).apply
+        if (args.variant == "merged" and args.rollout_loss
+            and args.rollout_bptt)
+        else model.apply
+    )
+    state = TrainState.create(apply_fn=train_apply, params=params, tx=tx)
     state, start_step = maybe_resume(
         state, args, ckpt_path=seq_ckpt(args.save_name)
     )
@@ -277,14 +331,18 @@ def main(argv=None):
     count_parameters(state.params)
 
     in_finetune = False
+    switch_step = switch_epoch * steps_per_epoch
 
-    def to_finetune(state):
+    def to_finetune(state, ft_step=0):
         """Switch to the joint encoder fine-tune phase (see argparser).
 
         New TrainState: apply_fn from the finetune_encoder=True module
         (drops the stop_gradients), an unmasked fresh OneCycle over the
         remaining ft steps, optimizer state reset (the phase boundary is a
         schedule restart, like the reference's own phase switches).
+
+        ``ft_step``: ft-local step to advance the fresh schedule/step
+        counters to on a params-only resume into the ft phase.
         """
         model_ft = model.clone(finetune_encoder=True)
         lr_ft = args.finetune_lr if args.finetune_lr is not None else args.lr / 10
@@ -295,17 +353,52 @@ def main(argv=None):
         tx_ft = make_optimizer(
             lr_ft, ft_epochs * steps_per_epoch, 1e-5, args.max_grad_norm
         )
-        return TrainState.create(
+        st = TrainState.create(
             apply_fn=model_ft.apply, params=state.params, tx=tx_ft
         )
+        if ft_step:
+            def _bump(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer) \
+                        and getattr(x, "ndim", None) == 0:
+                    return jnp.asarray(ft_step, x.dtype)
+                return x
+            st = st.replace(
+                step=ft_step,
+                opt_state=jax.tree_util.tree_map(_bump, st.opt_state),
+            )
+        return st
 
-    if ft_epochs and start_epoch >= switch_epoch:
-        # resuming into the ft phase: params were restored above; the ft
-        # optimizer state restarts (save_state is skipped during ft, so a
-        # mid-ft restart re-enters at the switch boundary)
-        state = to_finetune(state)
+    # Phase-aware resume (session-4 quirk fix): the ft phase restarts
+    # state.step at 0, so without a phase marker a params-only resume
+    # re-entered the MAIN phase at a bogus epoch.  The ft phase now (a)
+    # saves its full TrainState under ``<save_name>_ft.state`` and (b)
+    # stamps the params checkpoint with the GLOBAL step
+    # (switch_step + ft-local step); resume prefers the ft state file and
+    # otherwise maps a restored global step past the boundary back into
+    # the ft phase.
+    ft_state_path = train_state_path(args.save_name + "_ft")
+    if ft_epochs and os.path.exists(ft_state_path):
+        from ..train.checkpoint import restore_train_state
+
+        ft_template = to_finetune(state)
+        try:
+            st = restore_train_state(ft_state_path, ft_template)
+            ft_step = int(st.step)
+            state, in_finetune = st, True
+            start_epoch = switch_epoch + ft_step // steps_per_epoch
+            print(f"resumed ft phase from {ft_state_path} at ft step {ft_step}"
+                  f" (epoch {start_epoch})")
+        except Exception as e:
+            print(f"ft state {ft_state_path} unreadable "
+                  f"({type(e).__name__}: {e}); falling back")
+    if ft_epochs and not in_finetune and start_epoch >= switch_epoch:
+        # params-only resume into the ft phase: re-enter ft with the
+        # schedule advanced to the ft-local step recovered from the
+        # globally-stamped checkpoint step
+        ft_step = max(0, start_step - switch_step)
+        state = to_finetune(state, ft_step)
         in_finetune = True
-        start_epoch = switch_epoch
+        start_epoch = switch_epoch + ft_step // steps_per_epoch
 
     gt_modes = {True, False} if args.variant == "original" else {False}
     update_cache = {
@@ -346,6 +439,20 @@ def main(argv=None):
         steps_per_chunk = next(
             (d for d in range(max_steps, 0, -1) if n_steps % d == 0), n_steps
         )
+
+    def save_checkpoint(state, in_ft):
+        """Params + full-state save, phase-aware (see the resume block):
+        the ft phase stamps the params ckpt with the GLOBAL step and saves
+        its own ``_ft.state`` (opt-state shapes differ across phases)."""
+        if in_ft:
+            save_params(seq_ckpt(args.save_name), state.params,
+                        switch_step + int(state.step))
+            from ..train.checkpoint import save_train_state
+
+            save_train_state(ft_state_path, state)
+        else:
+            save_params(seq_ckpt(args.save_name), state.params, state.step)
+            save_state(state, args)
 
     eval_every = max(1, args.eval_every)
     metrics = MetricsLogger(args.metrics_file, samples_per_epoch=ntrain)
@@ -406,14 +513,10 @@ def main(argv=None):
         )
         if ep % 10 == 0:
             print("save model")
-            save_params(seq_ckpt(args.save_name), state.params, state.step)
-            if not in_finetune:  # ft opt-state shape differs; see to_finetune
-                save_state(state, args)
+            save_checkpoint(state, in_finetune)
 
     print("save model")
-    save_params(seq_ckpt(args.save_name), state.params, state.step)
-    if not in_finetune:
-        save_state(state, args)
+    save_checkpoint(state, in_finetune)
     return evaluate(state.params)[1]
 
 
