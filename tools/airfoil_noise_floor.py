@@ -38,6 +38,19 @@ from transformerbasednavierstokesolver_tpu.data.transonic import (
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    # resumable: case draws are a deterministic seed stream, so completed
+    # cases recorded in the state file (one JSON line each, the same lines
+    # this tool prints) are skipped — their rng draws still consumed.
+    state_path = sys.argv[2] if len(sys.argv) > 2 else None
+    done = {}
+    if state_path and os.path.exists(state_path):
+        for line in open(state_path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "case" in rec:
+                done[rec["case"]] = rec
     # the dataset's own parameter stream (generate_airfoil_dataset_transonic
     # seed layout); held-out tail cases via a distinct probe seed
     rng = np.random.default_rng(20260820)
@@ -50,6 +63,10 @@ def main():
             np.deg2rad(rng.uniform(-1.0, 5.0)),
             rng.uniform(0.64, 0.74),
         )
+        if k in done:
+            rels.append(done[k]["rel_l2_221x51_vs_441x101"])
+            print(json.dumps(done[k]), flush=True)
+            continue
         _, _, q_c, meta_c = transonic_sample(
             None, 221, 51, n_sweeps=6000, params=params
         )

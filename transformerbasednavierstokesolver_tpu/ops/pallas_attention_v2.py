@@ -26,6 +26,7 @@ XLA.  Gradient parity vs the XLA composition is tested.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,41 @@ def _segment_onehots(H, G, dtype=jnp.float32):
     return jnp.asarray(seg, dtype)
 
 
+_SEG_DOT_UNSAFE = os.environ.get("TBNSS_SEG_DOT_UNSAFE", "0") == "1"
+
+
+def _seg_dot(a, b):
+    """One-hot segment broadcast/reduce matmul — MUST be exact (f32).
+
+    At the TPU's default matmul precision the f32 value operand is rounded
+    through bf16 passes, so a broadcast per-head max comes back short by up
+    to ~|max| * 2^-8 and ``z - max`` can be *positive*; once drifting
+    weights push |logits/temperature| past ~2^8 * 88, ``exp`` overflows and
+    the softmax goes inf/inf -> NaN.  That is the round-5 padded-mega
+    plasticity training NaN (finite params, NaN mega forward, finite XLA
+    forward at replay update 1973 — logs/probe_nan_bisect_r5.log).  These
+    matmuls are narrow ([*,H] x [H,HG] or [*,HG] x [HG,H]), so HIGHEST
+    costs a negligible fraction of the kernels' MXU time.
+
+    ``TBNSS_SEG_DOT_UNSAFE=1`` (diagnostic only) restores the pre-fix
+    default-precision behavior so the failure trajectory can be replayed
+    deterministically (tools/probe_mega_nan_bisect.py --dump-at).
+    """
+    if _SEG_DOT_UNSAFE:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _softmax_z_guard(z):
+    """Clamp z <= 0 after the (exact) max subtraction — a no-op unless
+    something upstream produced a positive residual; disabled under the
+    diagnostic TBNSS_SEG_DOT_UNSAFE replay mode."""
+    if _SEG_DOT_UNSAFE:
+        return z
+    return jnp.minimum(z, 0.0)
+
+
 def _perhead_max(z, seg):
     """Per-head max of packed [nb, H*G] rows, broadcast back to [nb, H*G].
 
@@ -79,7 +115,7 @@ def _perhead_max(z, seg):
          for h in range(H)],
         axis=-1,
     )  # [nb, H]
-    return jnp.dot(zh, seg.T, preferred_element_type=jnp.float32)
+    return _seg_dot(zh, seg.T)
 
 
 def _packed_w(x_blk, kexp_ref, bias_ref, invt_ref, seg_ref, row0, n_valid):
@@ -90,10 +126,14 @@ def _packed_w(x_blk, kexp_ref, bias_ref, invt_ref, seg_ref, row0, n_valid):
     ) + bias_ref[0]
     z = logits * invt_ref[0]
     seg = seg_ref[:]  # [HG, H]
-    z = z - _perhead_max(z, seg)
+    # exact max (see _seg_dot) + clamp: z - exact_max <= 0 exactly in IEEE,
+    # so the minimum is a no-op safety net (fwd is never autodiffed — the
+    # backward is the hand-derived kernel — so the tie-gradient of minimum
+    # at 0 cannot perturb anything).
+    z = _softmax_z_guard(z - _perhead_max(z, seg))
     e = jnp.exp(z)
-    sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)  # [nb, H]
-    denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
+    sums = _seg_dot(e, seg)  # [nb, H]
+    denom = _seg_dot(sums, seg.T)
     w = e / denom
     rows = row0 + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
     return jnp.where(rows < n_valid, w, 0.0)
@@ -274,10 +314,10 @@ def _bwd_main_kernel(n_ref, x_ref, f_ref, dout_ref, kexp_ref, b_ref,
     logits = jnp.dot(x_blk, kexp_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
     z = logits * invt_ref[0]
     seg = seg_ref[:]
-    z = z - _perhead_max(z, seg)
+    z = _softmax_z_guard(z - _perhead_max(z, seg))  # exact, see _seg_dot
     e = jnp.exp(z)
-    sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)
-    denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
+    sums = _seg_dot(e, seg)
+    denom = _seg_dot(sums, seg.T)
     w = e / denom
     rows = nb * block_n + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
     w = jnp.where(rows < n_ref[0], w, 0.0)
@@ -292,8 +332,7 @@ def _bwd_main_kernel(n_ref, x_ref, f_ref, dout_ref, kexp_ref, b_ref,
     )
     # per-head softmax backward: dZ = W * (dW - seghead<W, dW>)
     wdw = w * dw
-    inner = jnp.dot(jnp.dot(wdw, seg, preferred_element_type=jnp.float32),
-                    seg.T, preferred_element_type=jnp.float32)
+    inner = _seg_dot(_seg_dot(wdw, seg), seg.T)
     dz = w * (dw - inner)
     dl = dz * invt_ref[0]
 

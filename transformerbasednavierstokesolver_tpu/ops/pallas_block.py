@@ -51,7 +51,9 @@ from .pallas_attention_v2 import (
     _blockdiag_tokens,
     _expand_blockdiag,
     _perhead_max,
+    _seg_dot,
     _segment_onehots,
+    _softmax_z_guard,
 )
 
 LN_EPS = 1e-5
@@ -134,12 +136,19 @@ def _row_validity(Hl, R, nb, row0, htot):
 
 
 def _softmax_packed(logits32, invt, seg):
-    """Per-head temperature softmax over packed [rows, HG] logits."""
+    """Per-head temperature softmax over packed [rows, HG] logits.
+
+    The segment max broadcast and denominator ride ``_seg_dot`` (exact f32
+    one-hot matmuls) and z is clamped <= 0: at the default MXU precision the
+    broadcast max is short by ~|max|*2^-8, which overflows exp once drifting
+    weights push |logits/temp| past ~2e4 — the round-5 padded-mega training
+    NaN (logs/probe_nan_bisect_r5.log, replay update 1973).
+    """
     z = logits32 * invt
-    z = z - _perhead_max(z, seg)
+    z = _softmax_z_guard(z - _perhead_max(z, seg))
     e = jnp.exp(z)
-    sums = jnp.dot(e, seg, preferred_element_type=jnp.float32)
-    denom = jnp.dot(sums, seg.T, preferred_element_type=jnp.float32)
+    sums = _seg_dot(e, seg)
+    denom = _seg_dot(sums, seg.T)
     return e / denom
 
 
@@ -307,8 +316,7 @@ def _bwd_slice_kernel(xf_ref, w_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
         + dsexp_ref[0]
     )
     wdw = w * dw
-    inner = jnp.dot(jnp.dot(wdw, seg, preferred_element_type=jnp.float32),
-                    seg.T, preferred_element_type=jnp.float32)
+    inner = _seg_dot(_seg_dot(wdw, seg), seg.T)
     dz = w * (dw - inner)
     dl = dz * invt
 
@@ -339,9 +347,7 @@ def _bwd_slice_kernel(xf_ref, w_ref, dwd_ref, dtrawexp_ref, dsexp_ref,
     # near-cancelling row sum at the recompute path's f32 accuracy.
     logw = jnp.log(jnp.maximum(w, 1e-30))
     G = seg.shape[0] // seg.shape[1]
-    seg_mean = jnp.dot(
-        jnp.dot(logw, seg, preferred_element_type=jnp.float32) / G,
-        seg.T, preferred_element_type=jnp.float32)
+    seg_mean = _seg_dot(_seg_dot(logw, seg) / G, seg.T)
     dinvt_ref[0] += jnp.sum(dz * (logw - seg_mean), axis=0,
                             keepdims=True) / invt
 
