@@ -179,7 +179,7 @@ def pipe_sample(rng, s1=129, s2=129):
 
 
 @functools.lru_cache(maxsize=4)
-def _pipe_solver(s1, s2):
+def _pipe_solver(s1, s2, maxiter=3000):
     fixed = jnp.zeros((s1, s2))
     fixed = fixed.at[:, 0].set(1.0).at[:, -1].set(1.0)  # no-slip walls
 
@@ -187,7 +187,7 @@ def _pipe_solver(s1, s2):
     def solve(nodes):
         return fem.solve_poisson(
             nodes, fixed, jnp.zeros((s1, s2)), source=8.0, tol=1e-7,
-            maxiter=3000,
+            maxiter=maxiter,
         )
 
     return solve
@@ -209,7 +209,8 @@ def generate_pipe_dataset(seed, n_samples, s1=129, s2=129):
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=2)
-def _plas_solver(s1, s2, n_steps, e_mod, eps_y, hard, n_secant):
+def _plas_solver(s1, s2, n_steps, e_mod, eps_y, hard, n_secant,
+                 maxiter=3000):
     x = np.linspace(0, 1.0, s1)
     y = np.linspace(0, 0.3, s2)
     X, Y = np.meshgrid(x, y, indexing="ij")
@@ -247,7 +248,7 @@ def _plas_solver(s1, s2, n_steps, e_mod, eps_y, hard, n_secant):
                 e_s, _u = carry
                 u = fem.solve_elasticity(
                     nodes, e_s, fixed, u_fix, jnp.zeros((s1, s2, 2)),
-                    nu=0.3, plane_stress=False, tol=1e-7, maxiter=3000,
+                    nu=0.3, plane_stress=False, tol=1e-7, maxiter=maxiter,
                 )
                 eps_eq, _ = eps_eq_of(u)
                 sig_eq = jnp.where(
