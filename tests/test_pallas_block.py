@@ -213,39 +213,37 @@ def test_padded_tail_plans():
 
 
 def test_padded_tail_gated_on_compiled_backends(monkeypatch):
-    """Padded plans are OPT-IN on compiled backends (TBNSS_MEGA_PADDED=1).
+    """Padded plans are ON by default; TBNSS_MEGA_PADDED=0 opts out.
 
-    History: the r4 padded-grad FAIL was attributed in r5 to default
-    matmul precision (tools/probe_mega_precision.py) and the plans were
-    briefly default-on; then the first padded-grid TRAINING run (session
-    4, plasticity 101x31 resume) went straight to NaN under mega while
-    xla continued cleanly from the same checkpoint
-    (logs/plas900_r5.log) — grad parity at init did not predict
-    mid-schedule behavior.  Until a padded training run survives
-    end-to-end, compiled backends require the explicit env opt-in and
-    impl=auto falls back to the XLA block on non-divisible grids (the
-    kernel-evidence tools set the env themselves).
+    History: the session-4 padded-grid training NaN (plasticity 101x31
+    resume, logs/plas900_r5.log) gated padded plans to opt-in; round 5
+    root-caused it to the packed softmax's default-precision max
+    broadcast (exp overflow at |logits/temp| ~ 2e4 — fixed by
+    _seg_dot/_softmax_z_guard, see ops/pallas_block._padded_ok) and the
+    pinned-trajectory replay now runs clean, so the default flipped back
+    on.  The opt-out env stays for A/B tooling.
     """
     monkeypatch.setattr(pallas_block, "_interpret", lambda: False)
     monkeypatch.delenv("TBNSS_MEGA_PADDED", raising=False)
-    # default: padded plans gated off -> XLA fallback on compiled backends
-    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
-    assert not pallas_block.supported(
-        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
-    )
-    # divisible heights are unaffected
-    assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
-    # the explicit opt-in restores the padded plan (A/B + probe tooling)
-    monkeypatch.setenv("TBNSS_MEGA_PADDED", "1")
+    # default: padded plans available on compiled backends
     assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
     assert pallas_block.supported(
         (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
     )
+    # divisible heights are unaffected
+    assert pallas_block._plan_blocks(64, 64, 256, 8 * 32, 512) is not None
+    # the explicit opt-out gates padded plans off (A/B + probe tooling)
     monkeypatch.setenv("TBNSS_MEGA_PADDED", "0")
     assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is None
+    assert not pallas_block.supported(
+        (4, 101 * 31, 128), jnp.bfloat16, (101, 31), 8, 64, 256
+    )
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "1")
+    assert pallas_block._plan_blocks(101, 31, 128, 8 * 64, 256) is not None
     # unsupported shapes raise a clear error instead of a None-unpack
     import pytest
 
+    monkeypatch.setenv("TBNSS_MEGA_PADDED", "0")  # re-gate for the error path
     with pytest.raises(ValueError, match="no kernel plan"):
         pallas_block._make_cfg(
             jnp.zeros((1, 101 * 31, 128)), (101, 31), 8, 64, 256, True

@@ -57,6 +57,15 @@ def main(argv=None):
 
     select_platform()
     args = build_argparser().parse_args(argv)
+    import sys as _sys
+
+    if args.impl == "mega" and "--impl" not in (argv or _sys.argv):
+        # measured perf carve-out, NOT a correctness gate: the fused block
+        # loses ~14% at this benchmark's tiny 101x31 grid (kernel-launch
+        # amortization; logs/bench_shapes_r5.json plas row), so resolved
+        # 'auto' keeps the XLA path here.  An explicit --impl mega on the
+        # command line is honored unchanged.
+        args.impl = "xla"
     put = dp_put(getattr(args, "mesh", "auto"))
     ntest = 80
 

@@ -499,16 +499,27 @@ def _padded_ok():
     on its first mega epoch (logs/plas900_r5.log "Epoch 21 ...nan"),
     while the same checkpoint continued cleanly under xla the same day.
     The param-grad probe at this exact shape passes at init, so the
-    failure needs real mid-schedule weights to manifest and is not yet
-    diagnosed.  Until a padded-grid training run survives end-to-end,
-    padded plans are OPT-IN on compiled backends (``TBNSS_MEGA_PADDED=1``
-    -- the kernel-evidence tools set it themselves); impl=auto therefore
-    falls back to the XLA block on non-divisible grids.  Interpret mode
-    (CPU tests) keeps padded plans on unconditionally.
+    failure needed real mid-schedule weights to manifest.
+
+    Round-5 RESOLUTION: root-caused to the packed softmax's per-head max
+    broadcast riding a default-precision MXU matmul — bf16 rounding
+    under-subtracts the max once |logits/temperature| drifts past ~2e4,
+    exp overflows, and w = inf/inf = NaN.  Fixed by exact
+    HIGHEST-precision segment matmuls + a z<=0 guard
+    (pallas_attention_v2._seg_dot / _softmax_z_guard).  Evidence: the
+    pinned epoch-21 replay NaN'd at update 1973 pre-fix; the dumped
+    failing case dissects to [pre-fix mega NaN | fixed mega 0.20523 |
+    xla 0.20524] (logs/r5f_nan_dissect_{prefix,fixed}.log); the full
+    2260-update replay runs clean under the fixed kernels on the XLA
+    loss trajectory (logs/r5f_nan_replay_{fixed,xla}.log).  The failure
+    was never specific to padded plans — they were simply the first
+    place training drove logits that large — so padded plans are now ON
+    by default (``TBNSS_MEGA_PADDED=0`` opts out; the diagnostic
+    pre-fix-numerics replay knob is ``TBNSS_SEG_DOT_UNSAFE=1``).
     """
     import os
 
-    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "0") == "1"
+    return _interpret() or os.environ.get("TBNSS_MEGA_PADDED", "1") == "1"
 
 
 def _plan_blocks(Hrows, W, C, HG, M):
