@@ -6,13 +6,24 @@ so the reference ``scripts/*.sh`` launchers run unchanged.
 """
 
 import argparse
+import faulthandler
 import math
 import os
+import signal
 import time
 
 import numpy as np
 
 import jax
+
+# `kill -USR1 <pid>` dumps every thread's Python stack to stderr without
+# disturbing the process — the only way to see WHERE a trainer is stuck
+# when a relay dispatch or a long trace goes silent (py-spy/gdb are not in
+# this image).  Registered at import so every CLI gets it.
+try:
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+except (AttributeError, ValueError, OSError):  # non-main thread / platform
+    pass
 
 
 class _RuntimeFlagsParser(argparse.ArgumentParser):
