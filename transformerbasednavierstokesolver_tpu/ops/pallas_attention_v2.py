@@ -64,26 +64,37 @@ _SEG_DOT_UNSAFE = os.environ.get("TBNSS_SEG_DOT_UNSAFE", "0") == "1"
 
 
 def _seg_dot(a, b):
-    """One-hot segment broadcast/reduce matmul — MUST be exact (f32).
+    """One-hot segment broadcast/reduce matmul — near-exact in f32.
 
     At the TPU's default matmul precision the f32 value operand is rounded
-    through bf16 passes, so a broadcast per-head max comes back short by up
-    to ~|max| * 2^-8 and ``z - max`` can be *positive*; once drifting
+    through ONE bf16 pass, so a broadcast per-head max comes back short by
+    up to ~|max| * 2^-8 and ``z - max`` can be *positive*; once drifting
     weights push |logits/temperature| past ~2^8 * 88, ``exp`` overflows and
     the softmax goes inf/inf -> NaN.  That is the round-5 padded-mega
     plasticity training NaN (finite params, NaN mega forward, finite XLA
-    forward at replay update 1973 — logs/probe_nan_bisect_r5.log).  These
-    matmuls are narrow ([*,H] x [H,HG] or [*,HG] x [HG,H]), so HIGHEST
-    costs a negligible fraction of the kernels' MXU time.
+    forward at replay update 1973 — logs/probe_nan_bisect_r5.log).
+
+    Fix: split the f32 value operand into a bf16-exact hi part plus an f32
+    residual and run TWO default-precision matmuls.  Both operands of each
+    pass are exactly representable in bf16 (the one-hot side is 0/1), so
+    the only loss is the bf16 rounding OF THE RESIDUAL: total error
+    <= |a| * 2^-18 — a broadcast max can no longer under/over-shoot by
+    more than ~0.09 even at |z| ~ 2.3e4, and together with the z <= 0
+    clamp (``_softmax_z_guard``) overflow is impossible at any magnitude.
+    Cost is 2 passes of a tiny matmul; the first fix attempt
+    (``precision=HIGHEST`` ~ 6 passes) measurably cost 13-20% of the whole
+    train step (logs/bench_shapes_r5f.json, first retake).
 
     ``TBNSS_SEG_DOT_UNSAFE=1`` (diagnostic only) restores the pre-fix
-    default-precision behavior so the failure trajectory can be replayed
+    single-pass behavior so the failure trajectory can be replayed
     deterministically (tools/probe_mega_nan_bisect.py --dump-at).
     """
     if _SEG_DOT_UNSAFE:
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = a - hi
+    return (jnp.dot(hi, b, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, b, preferred_element_type=jnp.float32))
 
 
 def _softmax_z_guard(z):
