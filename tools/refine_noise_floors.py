@@ -77,28 +77,39 @@ def pipe_case(rng):
 
 
 def _grf_hat(key, s, alpha=2.0, tau=3.0):
-    """The 421^2-mode GRF spectrum exactly as grf_coefficient builds it."""
-    k = jnp.fft.fftfreq(s, d=1.0 / s) * 2 * jnp.pi
-    kx, ky = jnp.meshgrid(k, k, indexing="ij")
+    """The 421^2-mode GRF spectrum exactly as grf_coefficient builds it.
+
+    Spectrum/FFT work runs HOST-SIDE (numpy complex): the axon TPU backend
+    has no complex arithmetic (CLAUDE.md), only the CG solves go on-chip.
+    The normal draws still come from jax.random on CPU so the stream
+    matches grf_coefficient bit-for-bit.
+    """
+    k = np.fft.fftfreq(s, d=1.0 / s) * 2 * np.pi
+    kx, ky = np.meshgrid(k, k, indexing="ij")
     coef = (kx**2 + ky**2 + tau**2) ** (-alpha / 2.0) * s
-    kr, ki = jax.random.split(key)
-    noise = jax.random.normal(kr, (s, s)) + 1j * jax.random.normal(ki, (s, s))
-    f_hat = coef * noise
-    return f_hat.at[0, 0].set(0.0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        kr, ki = jax.random.split(key)
+        nr = np.asarray(jax.random.normal(kr, (s, s)))
+        ni = np.asarray(jax.random.normal(ki, (s, s)))
+    f_hat = coef * (nr + 1j * ni)
+    f_hat[0, 0] = 0.0
+    return f_hat
 
 
 def _upsample2x(f_hat, s):
     """Band-limited evaluation of the s^2-mode field at the 2s FFT points
     (generator coordinate j/(2s)); returns a real [2s, 2s] grid whose even
-    nodes equal ifft2(f_hat).real exactly.  s odd -> no Nyquist split."""
+    nodes equal ifft2(f_hat).real exactly.  s odd -> no Nyquist split.
+    Host-side numpy (no complex support on the TPU backend)."""
     s2 = 2 * s
     half = (s + 1) // 2  # positive freqs 0..half-1, negative -(s-half)..-1
-    pad = jnp.zeros((s2, s2), f_hat.dtype)
-    pad = pad.at[:half, :half].set(f_hat[:half, :half])
-    pad = pad.at[:half, s2 - (s - half):].set(f_hat[:half, half:])
-    pad = pad.at[s2 - (s - half):, :half].set(f_hat[half:, :half])
-    pad = pad.at[s2 - (s - half):, s2 - (s - half):].set(f_hat[half:, half:])
-    return (jnp.fft.ifft2(pad) * 4.0).real
+    pad = np.zeros((s2, s2), f_hat.dtype)
+    pad[:half, :half] = f_hat[:half, :half]
+    pad[:half, s2 - (s - half):] = f_hat[:half, half:]
+    pad[s2 - (s - half):, :half] = f_hat[half:, :half]
+    pad[s2 - (s - half):, s2 - (s - half):] = f_hat[half:, half:]
+    return (np.fft.ifft2(pad) * 4.0).real
 
 
 def darcy_case(key):
@@ -108,14 +119,14 @@ def darcy_case(key):
 
     s = 421
     f_hat = _grf_hat(key, s)
-    g_c = jnp.fft.ifft2(f_hat).real
-    a_c = jnp.where(g_c >= 0, 12.0, 3.0)
+    g_c = np.fft.ifft2(f_hat).real
+    a_c = jnp.asarray(np.where(g_c >= 0, 12.0, 3.0), jnp.float32)
     # fine solver nodes j=0..840 sit at generator coordinate j/842: the
     # dataset assigns periodic sample j/s to solver node j/(s-1), and the
     # induced continuous coefficient evaluated at fine solver positions
     # j/840 maps back to exactly j/842 — the 2x zero-padded FFT points.
     g_f = _upsample2x(f_hat, s)[:841, :841]
-    a_f = jnp.where(g_f >= 0, 12.0, 3.0)
+    a_f = jnp.asarray(np.where(g_f >= 0, 12.0, 3.0), jnp.float32)
     u_c = np.asarray(solve_darcy_nodes(a_c, s))
     u_f = np.asarray(solve_darcy_nodes(a_f, 841, 1.0, 80000, 1e-7))
     fa = u_f[::2, ::2]
