@@ -237,7 +237,11 @@ def main(argv=None):
                         rel_err=rel_err)
         else:  # skipped eval (--eval_every): record train metrics only
             metrics.log(ep, train_loss=train_loss / ntrain, reg=reg / ntrain)
-        if ep % 100 == 0:
+        # Save at every eval point (>= every 10 epochs), not the reference's
+        # ep % 100: a relay hang + kill at epoch 73 of a 100-epoch run left
+        # only the epoch-0 state on disk (round-5 depth study), losing the
+        # whole run.  Writes are ~1 s host-side — negligible vs an epoch.
+        if ep % max(min(eval_every, 10), 1) == 0:
             print("save model")
             save_params(checkpoint_path(args.save_name), state.params, state.step)
             save_state(state, args)
